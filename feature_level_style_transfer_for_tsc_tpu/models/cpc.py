@@ -1,0 +1,62 @@
+"""Contrastive Predictive Coding (CPC) self-supervised auxiliary loss.
+
+Functional re-design of `/root/reference/Comparison/SLARDA/train.py:41-76`,
+reused by the main pipeline (train_and_test.py:20,131-134):
+
+* a GRU consumes the features (B, T, C), giving context vectors;
+* a random anchor ``t ~ U[0, timestep/2)`` is drawn per call;
+* ``timestep`` per-step Linears predict the future features
+  z[:, t+1 .. t+timestep] from the context c_t;
+* InfoNCE: log-softmax over the batch of <prediction, future> dot products,
+  summed over the diagonal.
+
+TPU-first notes: the reference runs the GRU on the variable-length prefix
+``z[:, :t+1]``; a causal GRU's output at index t is identical when run over
+the full sequence, so we scan the whole (static-shape) sequence and take the
+output at the (dynamic) anchor — jit-friendly, no recompilation per anchor.
+The reference's CPU-tensor bug (train.py:61,68) disappears by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import gru_init, gru_scan, linear_init
+
+
+def cpc_init(key, num_channels: int, gru_hidden_dim: int, timestep: int) -> Dict:
+    kg, kw = jax.random.split(key)
+    wks = jax.random.split(kw, timestep)
+    return {
+        "gru": gru_init(kg, num_channels, gru_hidden_dim),
+        "wk": [linear_init(k, gru_hidden_dim, num_channels) for k in wks],
+    }
+
+
+def cpc_apply(params: Dict, features: jax.Array, rng: jax.Array) -> jax.Array:
+    """InfoNCE loss; features are (B, T, C) channel-last.
+
+    (The reference receives (B, C, T) and transposes, train.py:55-58; our
+    layout is already time-major-after-batch.)
+    """
+    z = features
+    b, t_len, c = z.shape
+    timestep = len(params["wk"])
+    hidden = params["gru"]["w_hh"].shape[0]
+    t_samples = jax.random.randint(rng, (), 0, timestep // 2)
+
+    # Future ground-truth samples z[:, t+1 .. t+timestep] -> (timestep, B, C)
+    idx = t_samples + 1 + jnp.arange(timestep)
+    encode_samples = jnp.take(z, idx, axis=1).transpose(1, 0, 2)
+
+    output = gru_scan(params["gru"], z, jnp.zeros((b, hidden)))
+    c_t = jnp.take(output, t_samples, axis=1)  # (B, hidden)
+
+    pred = jnp.stack([c_t @ p["weight"] + p["bias"] for p in params["wk"]])  # (ts,B,C)
+    total = jnp.einsum("sbc,sdc->sbd", encode_samples, pred)  # (ts, B, B)
+    log_sm = jax.nn.log_softmax(total, axis=-1)
+    nce = jnp.sum(jnp.trace(log_sm, axis1=1, axis2=2))
+    return nce / (-1.0 * b * timestep)

@@ -1,0 +1,183 @@
+"""Masked omni-scale conv1d — the OS-CNN backbone op.
+
+The reference emulates N parallel conv1d branches with different prime kernel
+sizes as ONE conv at the layer's largest kernel size whose weight is
+multiplied by a centered zero-mask on every forward
+(`/root/reference/OS_CNN/OS_CNN.py:14-77`).  Same design here, TPU-first:
+
+* channel-last layout ``x: (B, T, C_in) -> (B, T, C_out)`` so the channel dim
+  rides the 128-wide lanes;
+* the mask is a static constant — masking is one elementwise multiply on the
+  (tiny) weight, fused by XLA;
+* "same" padding is asymmetric ``((K-1)//2, K//2)`` (reference OS_CNN.py:59);
+* the Pallas forward kernel keeps each batch element's full time axis
+  resident in VMEM (UCR/UEA activations are small) and issues chunked
+  shifted-window matmuls on the MXU — zero HBM round-trips between taps.
+  The backward pass is expressed with XLA convs via a custom VJP.
+
+Weight layout: ``(K, C_in, C_out)`` ("WIO").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_interpret, use_pallas
+from ..models.structure import LayerSpec, mask_bounds
+
+
+def build_os_mask(layer_spec: LayerSpec) -> np.ndarray:
+    """(K, 1, C_out) zero/one mask, one centered band per branch.
+
+    Parity with reference ``creat_mask``/``creak_layer_mask``
+    (OS_CNN.py:15-41): branch b with kernel size k keeps taps
+    ``[left, left+k)`` where left/right come from ``calculate_mask_index``.
+    """
+    largest = layer_spec[-1][-1]
+    cols = []
+    for (_, out_ch, k) in layer_spec:
+        band = np.zeros((largest, 1, out_ch), np.float32)
+        lo, hi = mask_bounds(k, largest)
+        band[lo:hi] = 1.0
+        cols.append(band)
+    return np.concatenate(cols, axis=-1)
+
+
+def init_os_conv_params(key: jax.Array, layer_spec: LayerSpec, dtype=jnp.float32) -> dict:
+    """Kaiming-uniform init per branch placed into its mask band.
+
+    Mirrors the reference, which initializes each branch as an independent
+    torch Conv1d then embeds it at its mask offsets (OS_CNN.py:26-41).
+    Torch's Conv1d default init is kaiming_uniform(a=sqrt(5)) for weights and
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for bias.
+    """
+    largest = layer_spec[-1][-1]
+    in_ch = layer_spec[0][0]
+    keys = jax.random.split(key, 2 * len(layer_spec))
+    w_cols, b_cols = [], []
+    for i, (_, out_ch, k) in enumerate(layer_spec):
+        fan_in = in_ch * k
+        gain = np.sqrt(2.0 / (1 + 5.0))  # kaiming_uniform with a=sqrt(5)
+        bound_w = gain * np.sqrt(3.0 / fan_in)
+        w = jax.random.uniform(
+            keys[2 * i], (k, in_ch, out_ch), dtype, minval=-bound_w, maxval=bound_w
+        )
+        big = jnp.zeros((largest, in_ch, out_ch), dtype)
+        lo, hi = mask_bounds(k, largest)
+        big = big.at[lo:hi].set(w)
+        bound_b = 1.0 / np.sqrt(fan_in)
+        b = jax.random.uniform(
+            keys[2 * i + 1], (out_ch,), dtype, minval=-bound_b, maxval=bound_b
+        )
+        w_cols.append(big)
+        b_cols.append(b)
+    return {
+        "weight": jnp.concatenate(w_cols, axis=-1),
+        "bias": jnp.concatenate(b_cols, axis=-1),
+    }
+
+
+def _conv_xla(x_pad: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x_pad,
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x_pad.dtype,
+    )
+
+
+def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int, tap_chunk: int):
+    """One batch element: out[t'] = sum_k x[t'+k] @ w[k].
+
+    Taps are processed in chunks: each chunk concatenates ``tap_chunk``
+    shifted views of x along channels and issues ONE MXU matmul, keeping the
+    contraction dim >= 128 where possible.
+    """
+    c_out = out_ref.shape[-1]
+    c_in = x_ref.shape[-1]
+    acc = jnp.zeros((t, c_out), jnp.float32)
+    x = x_ref[0]
+    for k0 in range(0, k, tap_chunk):
+        kc = min(tap_chunk, k - k0)
+        cols = jnp.concatenate([x[k0 + j : k0 + j + t, :] for j in range(kc)], axis=-1)
+        wk = w_ref[pl.ds(k0, kc)].reshape(kc * c_in, c_out)
+        acc += jnp.dot(cols, wk, preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@jax.jit
+def _conv_pallas(x_pad: jax.Array, w: jax.Array) -> jax.Array:
+    b, t_pad, c_in = x_pad.shape
+    k, _, c_out = w.shape
+    t = t_pad - k + 1
+    # Aim for a contraction dim of ~256 per chunk without blowing VMEM.
+    tap_chunk = max(1, min(k, int(np.ceil(256 / max(c_in, 1)))))
+    kernel = functools.partial(_os_conv_kernel, k=k, t=t, tap_chunk=tap_chunk)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, c_out), x_pad.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=pallas_interpret(),
+    )(x_pad, w)
+
+
+@jax.custom_vjp
+def _conv_core(x_pad: jax.Array, w: jax.Array) -> jax.Array:
+    if use_pallas():
+        return _conv_pallas(x_pad, w)
+    return _conv_xla(x_pad, w)
+
+
+def _conv_core_fwd(x_pad, w):
+    return _conv_core(x_pad, w), (x_pad, w)
+
+
+def _conv_core_bwd(res, g):
+    x_pad, w = res
+    _, vjp = jax.vjp(_conv_xla, x_pad, w)
+    return vjp(g)
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
+def masked_os_conv(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    mask: jax.Array,
+    *,
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    relu: bool = False,
+) -> jax.Array:
+    """Masked omni-scale "same" conv1d with optional affine + ReLU epilogue.
+
+    x: (B, T, C_in); weight: (K, C_in, C_out); mask broadcastable to weight.
+    Returns (B, T, C_out).  scale/shift (if given) fold an inference-mode
+    BatchNorm: ``y*scale + shift`` after bias.
+    """
+    k = weight.shape[0]
+    pad_l, pad_r = (k - 1) // 2, k // 2
+    w = weight * mask
+    x_pad = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+    y = _conv_core(x_pad, w) + bias
+    if scale is not None:
+        y = y * scale + (shift if shift is not None else 0.0)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y

@@ -1,0 +1,74 @@
+"""Data layer: .ts parser round-trip, label-dict semantics, batching."""
+
+import jax
+import numpy as np
+import pytest
+
+from feature_level_style_transfer_for_tsc_tpu.data import (
+    TestData,
+    TrainData,
+    epoch_batches,
+    load_from_tsfile,
+)
+from feature_level_style_transfer_for_tsc_tpu.data.dataset import check_z_normalized
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import (
+    make_arrays,
+    make_dataset,
+    write_ts_file,
+)
+
+
+def test_ts_roundtrip(tmp_path):
+    x, y = make_arrays(12, 3, 20, 4, seed=1)
+    path = str(tmp_path / "Syn" / "Syn_TRAIN.ts")
+    write_ts_file(path, x, y)
+    x2, y2 = load_from_tsfile(path)
+    assert x2.shape == x.shape
+    np.testing.assert_allclose(x2, x, atol=1e-5)
+    assert list(y2) == list(y)
+
+
+def test_label_dict_shared_between_train_and_test(tmp_path):
+    x, y = make_arrays(10, 1, 16, 3, seed=2)
+    write_ts_file(str(tmp_path / "S" / "S_TRAIN.ts"), x, y)
+    xt, yt = make_arrays(8, 1, 16, 3, seed=3)
+    write_ts_file(str(tmp_path / "S" / "S_TEST.ts"), xt, yt)
+    d = {}
+    train = TrainData(str(tmp_path), "S/S_TRAIN.ts", d)
+    test = TestData(str(tmp_path), "S/S_TEST.ts", d)
+    # insertion-order mapping (reference DataSource.py:22-28)
+    first_label = y[0]
+    assert d[first_label] == 0
+    assert train.num_class == len(set(y))
+    # test reuses the same dict -> consistent ints
+    assert test.num_class == train.num_class
+    assert train.in_channel == 1 and train.time_length == 16
+    # channel-last layout
+    assert train.x.shape == (10, 16, 1)
+
+
+def test_unseen_test_label_warns(tmp_path):
+    x, y = make_arrays(6, 1, 8, 2, seed=4)
+    write_ts_file(str(tmp_path / "S" / "S_TRAIN.ts"), x, y)
+    xt = x.copy()
+    yt = np.asarray(["ALIEN"] * 6)
+    write_ts_file(str(tmp_path / "S" / "S_TEST.ts"), xt, yt)
+    d = {}
+    TrainData(str(tmp_path), "S/S_TRAIN.ts", d)
+    with pytest.warns(UserWarning):
+        TestData(str(tmp_path), "S/S_TEST.ts", d)
+
+
+def test_epoch_batches_wraparound():
+    ds = make_dataset(23, 2, 10, 3, seed=5)
+    xb, yb = epoch_batches(ds.x, ds.y, jax.random.PRNGKey(0), 20)
+    assert xb.shape == (2, 20, 10, 2)
+    # every original sample appears at least once
+    flat = xb.reshape(-1, 10, 2)
+    for i in range(23):
+        assert np.any(np.all(np.isclose(flat, ds.x[i]), axis=(1, 2)))
+
+
+def test_synthetic_is_znormalized():
+    ds = make_dataset(16, 3, 64, 2, seed=6)
+    assert check_z_normalized(ds.x)

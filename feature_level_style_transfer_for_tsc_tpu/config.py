@@ -1,0 +1,101 @@
+"""Typed configuration with the reference's hard-coded values as defaults.
+
+The reference has no config system: every hyperparameter is a literal
+scattered through `/root/reference/train_and_test.py` (budgets :38-40, phase
+lengths :143,182,222,375,513, LRs/schedules :97-134, GradNorm :500-511,
+755-761, clipping :763-766) and `multi_source_voting.py:405-420` (voting
+constants).  This dataclass centralizes them so reference behavior is
+reproducible by default while everything is overridable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Simplified WaveGlow (reference Simplified_NF_WaveGlow.py:125-146,
+    instantiated train_and_test.py:71)."""
+
+    n_flows: int = 3
+    wn_channels: int = 120
+    wn_layers: int = 8
+    kernel_size: int = 3
+    sigma: float = 1.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """LRs and schedules (reference train_and_test.py:97-134)."""
+
+    lr_target_ext: float = 1e-3
+    lr_target_cls: float = 3e-3
+    lr_source_ext: float = 1e-3
+    lr_dim_uni: float = 1e-3
+    lr_source_cls: float = 3e-3
+    lr_prob_trans: float = 1e-3
+    lr_nf: float = 1e-3
+    lr_noise_trans: float = 5e-3
+    lr_ad_net: float = 1e-3
+    lr_feat_disc: float = 1e-3
+    lr_cpc: float = 2e-3
+
+    steplr_step: int = 25
+    steplr_gamma: float = 0.8
+    cpc_steplr_gamma: float = 0.7
+    noise_steplr_step: int = 55
+    noise_steplr_gamma: float = 0.6
+    plateau_factor: float = 0.7
+    plateau_min_lr: float = 1e-4
+
+    ad_net_clip: float = 5e-4
+    feat_disc_clip: float = 1e-2
+
+
+@dataclass(frozen=True)
+class GradNormConfig:
+    """GradNorm weights (reference train_and_test.py:500-511,753-761)."""
+
+    alpha: float = 3.0
+    weights_t_init: Tuple[float, ...] = (2.0, 5.0)
+    weights_s_init: Tuple[float, ...] = (2.0, 2.0, 4.0)
+    weights_t_sum: float = 7.0
+    weights_s_sum: float = 8.0
+    lr_weights_t: float = 2e-4
+    lr_weights_s: float = 1e-3
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """The full five-phase curriculum (reference train_and_test.py:22-798)."""
+
+    batch_size: int = 20
+    max_kernel_size: int = 89  # reference :40
+    cdan_dim: int = 1024  # reference :76
+    cpc_hidden: int = 64  # reference :131
+
+    target_pretrain_epochs: int = 3  # reference :143
+    source_pretrain_epochs: int = 70  # reference :182
+    selfsup_epochs: int = 325  # 65*5, reference :222
+    selfsup_supervised_every: int = 50  # reference :231
+    nf_pretrain_epochs: int = 600  # reference :375
+    nf_supervised_every: int = 75  # reference :388
+    joint_epochs: int = 720  # reference :23
+
+    eval_every: int = 2  # reference :778
+    checkpoint_dir: str = "train_log"
+    seed: int = 0
+
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    gradnorm: GradNormConfig = field(default_factory=GradNormConfig)
+
+
+@dataclass(frozen=True)
+class VotingConfig:
+    """Ensemble voting constants (reference multi_source_voting.py:405-420)."""
+
+    entropy_scale: float = 120.0
+    weight_base: float = 9.0

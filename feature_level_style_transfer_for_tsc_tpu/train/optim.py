@@ -1,0 +1,93 @@
+"""Optimizers and LR schedules with torch-semantics parity.
+
+The reference drives 11 module-specific optimizers — RMSprop for the main
+modules (train_and_test.py:97-107), Adam for CPC and the GradNorm weights
+(:131-134,506-507) — stepped per batch, with per-epoch LR schedulers:
+StepLR (step_size/gamma) and ReduceLROnPlateau (:108-129).
+
+Re-design: every optimizer is an `optax.inject_hyperparams` transformation so
+the learning rate is explicit state that the (jitted) epoch code updates —
+StepLR as a pure function of the epoch counter, Plateau as an explicit state
+machine (torch defaults: mode='min', rel threshold 1e-4, patience 10,
+cooldown 0).  WGAN weight clipping (train_and_test.py:763-766) is a pure
+post-step projection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_rmsprop(lr: float) -> optax.GradientTransformation:
+    """torch.optim.RMSprop parity: alpha=0.99, eps=1e-8 added OUTSIDE sqrt."""
+    return optax.inject_hyperparams(optax.rmsprop)(
+        learning_rate=lr, decay=0.99, eps=1e-8, eps_in_sqrt=False
+    )
+
+
+def make_adam(lr: float) -> optax.GradientTransformation:
+    """torch.optim.Adam parity (betas 0.9/0.999, eps 1e-8)."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
+    )
+
+
+def set_lr(opt_state, lr):
+    """Update the injected learning rate inside an inject_hyperparams state."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def get_lr(opt_state):
+    return opt_state.hyperparams["learning_rate"]
+
+
+def step_lr(base_lr: float, epoch, step_size: int, gamma: float):
+    """torch StepLR: lr = base * gamma**(epoch // step_size)."""
+    return base_lr * gamma ** (jnp.asarray(epoch) // step_size)
+
+
+class PlateauState(NamedTuple):
+    """torch ReduceLROnPlateau (mode='min', threshold_mode='rel') state."""
+
+    lr: jax.Array
+    best: jax.Array
+    num_bad: jax.Array  # int32
+
+
+def plateau_init(lr: float) -> PlateauState:
+    return PlateauState(
+        lr=jnp.asarray(lr, jnp.float32),
+        best=jnp.asarray(jnp.inf, jnp.float32),
+        num_bad=jnp.zeros((), jnp.int32),
+    )
+
+
+def plateau_step(
+    state: PlateauState,
+    metric,
+    *,
+    factor: float,
+    min_lr: float,
+    patience: int = 10,
+    threshold: float = 1e-4,
+) -> PlateauState:
+    """One per-epoch plateau update; returns the new state (lr inside)."""
+    metric = jnp.asarray(metric, jnp.float32)
+    improved = metric < state.best * (1.0 - threshold)
+    best = jnp.where(improved, metric, state.best)
+    num_bad = jnp.where(improved, 0, state.num_bad + 1)
+    reduce = num_bad > patience
+    lr = jnp.where(reduce, jnp.maximum(state.lr * factor, min_lr), state.lr)
+    num_bad = jnp.where(reduce, 0, num_bad)
+    return PlateauState(lr=lr, best=best, num_bad=num_bad)
+
+
+def clip_params(params, bound: float):
+    """WGAN critic clamp: every parameter to [-bound, +bound]
+    (reference train_and_test.py:763-766)."""
+    return jax.tree_util.tree_map(lambda p: jnp.clip(p, -bound, bound), params)

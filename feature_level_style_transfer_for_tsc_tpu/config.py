@@ -75,6 +75,9 @@ class PipelineConfig:
     max_kernel_size: int = 89  # reference :40
     cdan_dim: int = 1024  # reference :76
     cpc_hidden: int = 64  # reference :131
+    #: scales the OS-CNN parameter budgets (1.0 = reference budgets
+    #: train_and_test.py:38-39); tests shrink it to keep models tiny.
+    budget_multiplier: float = 1.0
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -58,7 +58,7 @@ class OSCNNClassifier:
         self.num_class = num_class
         self.with_cpc = with_cpc
 
-        budgets = default_parameter_budgets(in_channels)
+        budgets = [int(b * self.config.budget_multiplier) for b in default_parameter_budgets(in_channels)]
         rf = receptive_field(time_length, self.config.max_kernel_size)
         self.ext_specs = generate_layer_parameter_list(1, rf, budgets, in_channels)
         self.feature_channels = total_out_channels(self.ext_specs[-1])

@@ -1,0 +1,97 @@
+"""Five-phase pipeline smoke/behavior tests on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_level_style_transfer_for_tsc_tpu.config import (
+    FlowConfig,
+    GradNormConfig,
+    OptimConfig,
+    PipelineConfig,
+)
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import make_dataset
+from feature_level_style_transfer_for_tsc_tpu.train.pipeline import StyleTransferPipeline
+
+
+def tiny_config():
+    return PipelineConfig(
+        batch_size=6,
+        max_kernel_size=5,
+        cdan_dim=32,
+        cpc_hidden=8,
+        budget_multiplier=0.02,
+        flow=FlowConfig(n_flows=2, wn_channels=8, wn_layers=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    td, sd = {}, {}
+    t_train = make_dataset(12, 2, 16, 2, seed=0, label_dict=td)
+    t_test = make_dataset(6, 2, 16, 2, seed=1, label_dict=td, is_train=False)
+    s_train = make_dataset(12, 1, 12, 3, seed=2, label_dict=sd)
+    s_test = make_dataset(6, 1, 12, 3, seed=3, label_dict=sd, is_train=False)
+    pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
+    return pipe, t_train, t_test, s_train, s_test
+
+
+def test_feature_channels_even(setup):
+    pipe = setup[0]
+    assert pipe.feat_channels % 2 == 0  # WaveGlow n_group must be even
+
+
+def test_full_curriculum_tiny(setup):
+    pipe, t_train, t_test, s_train, s_test = setup
+    state, history = pipe.run(
+        t_train, t_test, s_train, s_test,
+        epochs={"p1": 1, "p2": 1, "p3": 2, "p4": 2, "p5": 2},
+        verbose=False,
+    )
+    phases = {h["phase"] for h in history}
+    assert phases == {"p1", "p2", "p3", "p4", "p5", "p5_eval"}
+    # every logged loss is finite
+    for h in history:
+        for k, v in h.items():
+            if k.endswith("_loss") or k in ("cdan", "fd"):
+                assert np.all(np.isfinite(v)), f"{k} not finite in {h}"
+    # gradnorm weights keep their fixed sums (7 / 8)
+    last_p5 = [h for h in history if h["phase"] == "p5"][-1]
+    np.testing.assert_allclose(np.sum(last_p5["gradnorm_w_t"]), 7.0, rtol=1e-4)
+    np.testing.assert_allclose(np.sum(last_p5["gradnorm_w_s"]), 8.0, rtol=1e-4)
+    # eval accuracies are valid probabilities
+    ev = [h for h in history if h["phase"] == "p5_eval"][-1]
+    for k in ("target_test_acc", "source_test_acc"):
+        assert 0.0 <= ev[k] <= 1.0
+    # WGAN clipping applied
+    ad_leaves = jax.tree_util.tree_leaves(state["params"]["ad"])
+    assert max(float(jnp.max(jnp.abs(l))) for l in ad_leaves) <= 5e-4 + 1e-8
+    fd_leaves = jax.tree_util.tree_leaves(state["params"]["fd"])
+    assert max(float(jnp.max(jnp.abs(l))) for l in fd_leaves) <= 1e-2 + 1e-8
+
+
+def test_noise_transfer_state_advances(setup):
+    pipe, t_train, t_test, s_train, s_test = setup
+    state, _ = pipe.run(
+        t_train, t_test, s_train, s_test,
+        epochs={"p1": 0, "p2": 0, "p3": 0, "p4": 0, "p5": 1},
+        verbose=False,
+    )
+    ns = state["mstate"]["noise"]
+    assert int(ns.time) == 2  # 2 batches in one epoch (12 samples / bs 6)
+    assert int(ns.cal_num_target) == 12
+    assert float(jnp.sum(jnp.abs(ns.target_avg))) > 0.0
+
+
+def test_critic_counters_advance(setup):
+    pipe, t_train, t_test, s_train, s_test = setup
+    state, _ = pipe.run(
+        t_train, t_test, s_train, s_test,
+        epochs={"p1": 0, "p2": 0, "p3": 0, "p4": 0, "p5": 1},
+        verbose=False,
+    )
+    # ad_net called twice per batch in CDAN, fd three times per batch
+    assert int(state["mstate"]["ad"].iter_num) == 2 * 2 - 1
+    assert int(state["mstate"]["fd"].iter_num) == 3 * 2 - 1

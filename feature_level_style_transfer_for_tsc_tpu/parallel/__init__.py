@@ -1,0 +1,3 @@
+from .mesh import make_mesh, data_sharding, domain_sharding, replicated  # noqa: F401
+from .dp import shard_epoch_batches, replicate  # noqa: F401
+from .multi_source import MultiSourceEnsemble  # noqa: F401

@@ -1,11 +1,14 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Env vars must be set before jax initializes, hence at conftest import time.
+The container presets JAX_PLATFORMS=axon and a sitecustomize that registers
+the TPU PJRT plugin at interpreter start, so plain env edits here are too
+late — `jax.config.update("jax_platforms", "cpu")` after import is what
+actually forces CPU.  XLA_FLAGS still must be set before the first backend
+initialization to get the 8 virtual devices.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,7 @@ os.environ.setdefault("FLSTTSC_USE_PALLAS", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, f"expected 8 CPU devices, got {jax.devices()}"

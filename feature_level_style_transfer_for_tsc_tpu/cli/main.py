@@ -1,0 +1,70 @@
+"""Single source->target style-transfer training run.
+
+Equivalent of the reference entry point `/root/reference/main.py:1-11` (which
+hard-codes SelfRegulationSCP2 <- EthanolLevel), with the datasets, epoch
+counts and output paths as flags.
+
+Usage:
+  python -m feature_level_style_transfer_for_tsc_tpu.cli.main \
+      --target-root Multivariate_ts --target SelfRegulationSCP2 \
+      --source-root Univariate_ts --source EthanolLevel \
+      --out train_log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from ..config import PipelineConfig
+from ..data import TestData, TrainData
+from ..io import save_checkpoint
+from ..train.pipeline import StyleTransferPipeline
+
+
+def build_datasets(target_root, target, source_root, source):
+    target_dict, source_dict = {}, {}
+    t_train = TrainData(target_root, f"{target}/{target}_TRAIN.ts", target_dict)
+    t_test = TestData(target_root, f"{target}/{target}_TEST.ts", target_dict)
+    s_train = TrainData(source_root, f"{source}/{source}_TRAIN.ts", source_dict)
+    s_test = TestData(source_root, f"{source}/{source}_TEST.ts", source_dict)
+    return t_train, t_test, s_train, s_test
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--target-root", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--source-root", required=True)
+    p.add_argument("--source", required=True)
+    p.add_argument("--out", default="train_log")
+    p.add_argument("--joint-epochs", type=int, default=720)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    t_train, t_test, s_train, s_test = build_datasets(
+        args.target_root, args.target, args.source_root, args.source
+    )
+    cfg = PipelineConfig(seed=args.seed, joint_epochs=args.joint_epochs,
+                         checkpoint_dir=args.out)
+    pipe = StyleTransferPipeline(
+        t_train.in_channel, t_train.time_length, t_train.num_class,
+        s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
+    )
+    os.makedirs(args.out, exist_ok=True)
+
+    def checkpoint_hook(epoch, state):
+        save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"), state["params"])
+
+    state, history = pipe.run(
+        t_train, t_test, s_train, s_test, checkpoint_hook=checkpoint_hook
+    )
+    save_checkpoint(os.path.join(args.out, "final_state.npz"), state)
+    with open(os.path.join(args.out, "history.json"), "w") as f:
+        json.dump(history, f)
+    print("done; final:", history[-1])
+
+
+if __name__ == "__main__":
+    main()

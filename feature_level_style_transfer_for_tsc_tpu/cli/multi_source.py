@@ -1,0 +1,94 @@
+"""Multi-source training + entropy/precision-weighted ensemble voting.
+
+Equivalent of the reference's sequential per-source `train()` runs followed
+by `/root/reference/multi_source_voting.py:230-429`, except:
+
+* the K source->target pipelines are launched from one command;
+* the trained target-shaped models are stacked on a "domain"-sharded mesh
+  axis and the vote reduction runs on-device (see parallel/multi_source.py);
+* the per-class precision weights come from the target train split and the
+  final predictions + true labels are saved as .npy like the reference.
+
+Usage:
+  python -m feature_level_style_transfer_for_tsc_tpu.cli.multi_source \
+      --target-root Multivariate_ts --target StandWalkJump \
+      --source-root Univariate_ts --sources EthanolLevel,Worms,InlineSkate \
+      --out multi_log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..config import PipelineConfig, VotingConfig
+from ..data import TestData, TrainData
+from ..io import save_checkpoint, save_prediction_strip
+from ..parallel import MultiSourceEnsemble, make_mesh
+from ..train.pipeline import StyleTransferPipeline
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--target-root", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--source-root", required=True)
+    p.add_argument("--sources", required=True, help="comma-separated source dataset names")
+    p.add_argument("--out", default="multi_log")
+    p.add_argument("--joint-epochs", type=int, default=720)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    sources = args.sources.split(",")
+    target_dict = {}
+    t_train = TrainData(args.target_root, f"{args.target}/{args.target}_TRAIN.ts", target_dict)
+    t_test = TestData(args.target_root, f"{args.target}/{args.target}_TEST.ts", target_dict)
+    os.makedirs(args.out, exist_ok=True)
+
+    members = []
+    for i, source in enumerate(sources):
+        source_dict = {}
+        s_train = TrainData(args.source_root, f"{source}/{source}_TRAIN.ts", source_dict)
+        s_test = TestData(args.source_root, f"{source}/{source}_TEST.ts", source_dict)
+        cfg = PipelineConfig(seed=args.seed + i, joint_epochs=args.joint_epochs)
+        pipe = StyleTransferPipeline(
+            t_train.in_channel, t_train.time_length, t_train.num_class,
+            s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
+        )
+        state, history = pipe.run(t_train, t_test, s_train, s_test, verbose=False)
+        members.append(
+            {
+                "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
+                "mstate": {"ext": state["mstate"]["t_ext"], "cls": state["mstate"]["t_cls"]},
+            }
+        )
+        save_checkpoint(os.path.join(args.out, f"member_{source}.npz"), members[-1])
+        print(f"[{source}] final:", history[-1])
+
+    domain = len(members)
+    mesh = None
+    if len(jax.devices()) >= domain:
+        mesh = make_mesh(data=1, domain=domain, devices=jax.devices()[:domain])
+    ens = MultiSourceEnsemble(
+        t_train.in_channel, t_train.time_length, t_train.num_class, mesh=mesh
+    )
+    stacked = ens.stack(members)
+    result = ens.evaluate(stacked, t_train, t_test)
+    np.save(os.path.join(args.out, "final_predict.npy"), result["predictions"])
+    np.save(os.path.join(args.out, "true_label.npy"), t_test.y)
+    save_prediction_strip(
+        os.path.join(args.out, "prediction_strip.png"), result["predictions"], t_test.y
+    )
+    with open(os.path.join(args.out, "ensemble.json"), "w") as f:
+        json.dump(
+            {"ensemble_acc": result["ensemble_acc"], "member_accs": result["member_accs"]}, f
+        )
+    print("ensemble accuracy:", result["ensemble_acc"], "members:", result["member_accs"])
+
+
+if __name__ == "__main__":
+    main()

@@ -53,10 +53,33 @@ def _gate_pallas(a: jax.Array, b: jax.Array, n: int, row_tile: int = 256) -> jax
     return out.reshape(*lead, n)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gate(a: jax.Array, b: jax.Array, n: int) -> jax.Array:
+    if use_pallas():
+        return _gate_pallas(a, b, n)
+    return _gate_xla(a, b, n)
+
+
+def _gate_fwd(a, b, n):
+    x = a + b
+    return _gate(a, b, n), x
+
+
+def _gate_bwd(n, x, g):
+    # y = tanh(t) * sigmoid(s) with t = x[..., :n], s = x[..., n:]
+    t = jnp.tanh(x[..., :n])
+    s = jax.nn.sigmoid(x[..., n:])
+    dt = g * (1.0 - t * t) * s
+    ds = g * t * s * (1.0 - s)
+    dx = jnp.concatenate([dt, ds], axis=-1)
+    return dx, dx
+
+
+_gate.defvjp(_gate_fwd, _gate_bwd)
+
+
 def fused_add_tanh_sigmoid_multiply(a: jax.Array, b: jax.Array, n: int) -> jax.Array:
     """Gate of the WN coupling network (reference fused op parity)."""
     if a.shape != b.shape or a.shape[-1] != 2 * n:
         raise ValueError(f"expected (..., {2*n}) inputs, got {a.shape} and {b.shape}")
-    if use_pallas():
-        return _gate_pallas(a, b, n)
-    return _gate_xla(a, b, n)
+    return _gate(a, b, n)

@@ -707,6 +707,7 @@ class StyleTransferPipeline:
         verbose: bool = True,
         eval_hook=None,
         checkpoint_hook=None,
+        artifact_dir: Optional[str] = None,
     ):
         """Run the full curriculum (phase lengths overridable for testing)."""
         cfg = self.config
@@ -767,7 +768,18 @@ class StyleTransferPipeline:
             log("p4", e, m)
         for e in range(ep["p5"]):
             skey, sk = jax.random.split(skey)
-            state, m = self.phase5_epoch(state, *paired_batches(sk), jnp.asarray(e))
+            collect = artifact_dir is not None and e % cfg.eval_every == 0
+            if collect:
+                state, m, feats = self.phase5_epoch(
+                    state, *paired_batches(sk), jnp.asarray(e), True
+                )
+                from ..io.artifacts import save_feature_dumps
+
+                save_feature_dumps(
+                    artifact_dir, e, {k: np.asarray(v) for k, v in feats.items()}
+                )
+            else:
+                state, m = self.phase5_epoch(state, *paired_batches(sk), jnp.asarray(e))
             log("p5", e, m)
             if e % cfg.eval_every == 0:
                 accs = {

@@ -26,7 +26,19 @@ import numpy as np
 
 
 def load_from_tsfile(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Parse a .ts file -> (X[N, C, T] float32, y[N] of strings)."""
+    """Parse a .ts file -> (X[N, C, T] float32, y[N] of strings).
+
+    Uses the native C++ parser (native/ts_parser.cpp via ctypes) when the
+    toolchain is available; otherwise the pure-python path below.
+    """
+    from .native import load_from_tsfile_native, native_available
+
+    if native_available():
+        return load_from_tsfile_native(path)
+    return _load_from_tsfile_py(path)
+
+
+def _load_from_tsfile_py(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "r", encoding="utf-8") as f:
         lines = f.readlines()
 

@@ -205,27 +205,32 @@ def measure_ours() -> float:
         )
         return total, new_m
 
-    @jax.jit
-    def step(state, rng):
-        params, mstate, opt = state["params"], state["mstate"], state["opt"]
+    def step(carry, rng):
+        params, mstate, opt = carry
         grads, new_m = jax.grad(loss_fn, has_aux=True)(params, mstate, state["consts"], rng)
         new_params = dict(params)
         new_opt = dict(opt)
         for name in names:
             upd, new_opt[name] = pipe.tx[name].update(grads[name], opt[name], params[name])
             new_params[name] = optax.apply_updates(params[name], upd)
-        out = dict(state)
-        out.update(params=new_params, mstate=new_m, opt=new_opt)
-        return out
+        return (new_params, new_m, new_opt), None
 
-    rng = jax.random.PRNGKey(1)
-    for _ in range(WARMUP_STEPS):
-        state = step(state, rng)
-    jax.block_until_ready(state["params"]["nf"])
+    @jax.jit
+    def run_steps(carry, rngs):
+        # mirror the real pipeline's execution model: one jitted scan over
+        # the steps of an epoch (zero per-step dispatch)
+        carry, _ = jax.lax.scan(step, carry, rngs)
+        return carry
+
+    # warmup uses the SAME scan length so the timed call hits the jit cache
+    rngs_w = jax.random.split(jax.random.PRNGKey(1), TIMED_STEPS)
+    rngs_t = jax.random.split(jax.random.PRNGKey(2), TIMED_STEPS)
+    carry = (state["params"], state["mstate"], state["opt"])
+    carry = run_steps(carry, rngs_w)
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state = step(state, rng)
-    jax.block_until_ready(state["params"]["nf"])
+    carry = run_steps(carry, rngs_t)
+    jax.block_until_ready(carry)
     dt = (time.perf_counter() - t0) / TIMED_STEPS
     return (2 * B) / dt
 

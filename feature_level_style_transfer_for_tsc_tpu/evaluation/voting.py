@@ -50,3 +50,27 @@ def entropy_only_vote(logits: jax.Array, entropy_scale: float = 2.0) -> jax.Arra
     ent = -jnp.sum(probs * jnp.log(probs), axis=-1, keepdims=True)
     contrib = probs * (1.0 + entropy_scale * jnp.exp(-ent))
     return jnp.argmax(jnp.sum(contrib, axis=0), axis=-1)
+
+
+def predicted_label_vote(
+    logits: jax.Array,  # (M, N, C)
+    class_weights: jax.Array,  # (M, C)
+    entropy_scale: float = 120.0,
+    weight_base: float = 12.0,
+) -> jax.Array:
+    """The per-predicted-label weight variant kept in
+    `visualization.py:231-440` (:420-430): instead of scaling every class by
+    ``base^{w}`` elementwise, each sample is scaled by the weight of its
+    OWN argmax class, with base 12."""
+
+    def per_model(lg, w):
+        probs = jax.nn.softmax(lg, axis=-1)
+        ent = -jnp.sum(probs * jnp.log(probs), axis=-1, keepdims=True)
+        pred = jnp.argmax(probs, axis=-1)
+        sample_w = jnp.take(w, pred)[:, None]
+        return probs * (1.0 + entropy_scale * jnp.exp(-ent)) * jnp.power(
+            weight_base, sample_w
+        )
+
+    contrib = jax.vmap(per_model)(logits, class_weights)
+    return jnp.argmax(jnp.sum(contrib, axis=0), axis=-1)

@@ -111,11 +111,16 @@ def os_cnn_apply(
     masks: List[jax.Array],
     x: jax.Array,
     training: bool,
+    few_shot: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
-    """Returns (logits, pooled_feature, new_state) — reference OS_CNN.forward."""
+    """Returns (logits, pooled_feature, new_state) — reference OS_CNN.forward.
+
+    ``few_shot=True`` skips the Linear head and returns the pooled feature
+    in both slots (reference OS_CNN.py:82,106-108).
+    """
     y, new_block = os_block_apply(params["block"], state["block"], masks, x, training, True)
     pooled = jnp.mean(y, axis=1)  # AdaptiveAvgPool1d(1) over time
-    logits = linear(params["hidden"], pooled)
+    logits = pooled if few_shot else linear(params["hidden"], pooled)
     return logits, pooled, {"block": new_block}
 
 

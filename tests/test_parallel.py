@@ -123,3 +123,25 @@ def test_domain_sharded_ensemble_matches_sequential():
     assert res["ensemble_acc"] == res_seq["ensemble_acc"]
     np.testing.assert_array_equal(res["predictions"], res_seq["predictions"])
     np.testing.assert_allclose(res["class_weights"], res_seq["class_weights"], atol=1e-6)
+
+
+def test_time_sharded_conv_matches_unsharded():
+    """SP halo-exchange conv == unsharded masked conv (bitwise-close)."""
+    from feature_level_style_transfer_for_tsc_tpu.ops.osconv import (
+        build_os_mask,
+        init_os_conv_params,
+        masked_os_conv,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.parallel.sequence import (
+        time_sharded_os_conv,
+    )
+
+    spec = [(3, 4, 1), (3, 4, 3), (3, 4, 5)]
+    params = init_os_conv_params(jax.random.PRNGKey(0), spec)
+    mask = jnp.asarray(build_os_mask(spec))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 3))
+
+    want = masked_os_conv(x, params["weight"], params["bias"], mask)
+    mesh = make_mesh(data=4, domain=1)
+    got = time_sharded_os_conv(mesh, x, params["weight"], params["bias"], mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -23,6 +23,7 @@ def make_arrays(
     length: int,
     num_class: int,
     seed: int = 0,
+    noise: float = 0.3,
 ) -> tuple:
     """(X[N, C, T] float32, y[N] str) with per-class frequency signatures."""
     rng = np.random.default_rng(seed)
@@ -33,7 +34,7 @@ def make_arrays(
     chan_scale = 1.0 + 0.3 * np.arange(channels, dtype=np.float32)[None, :, None]
     f = freqs[y][:, None, None]
     x = np.sin(2 * np.pi * f * t / length * 4 + phase) * chan_scale
-    x += 0.3 * rng.standard_normal((n, channels, length)).astype(np.float32)
+    x += noise * rng.standard_normal((n, channels, length)).astype(np.float32)
     # per-series per-channel z-normalization, like the UCR archive
     x = (x - x.mean(axis=-1, keepdims=True)) / (x.std(axis=-1, keepdims=True) + 1e-8)
     labels = np.asarray([f"cls_{int(v)}" for v in y])

@@ -25,6 +25,7 @@ from .flow import (  # noqa: F401
     inv1x1_init,
     inv1x1_inverse,
     waveglow_forward,
+    waveglow_forward_pair,
     waveglow_infer,
     waveglow_init,
     waveglow_loss,
@@ -49,7 +50,7 @@ from .critics import (  # noqa: F401
     random_layer_apply,
     random_layer_init,
 )
-from .cpc import cpc_apply, cpc_init  # noqa: F401
+from .cpc import cpc_apply, cpc_apply_pair, cpc_init  # noqa: F401
 from .transformer import (  # noqa: F401
     discriminator_att_apply,
     discriminator_att_init,

@@ -36,6 +36,23 @@ def cpc_init(key, num_channels: int, gru_hidden_dim: int, timestep: int) -> Dict
     }
 
 
+def cpc_apply_pair(
+    params: Dict, feats_a: jax.Array, feats_b: jax.Array, rng_a, rng_b
+) -> Tuple[jax.Array, jax.Array]:
+    """Two independent CPC losses in one vmapped pass.
+
+    The target and source feature batches share (B, T, C) after
+    DimensionUnification, so stacking them turns two sequential T-step GRU
+    scans into ONE batched scan (the scan is the latency-critical part at
+    UCR sizes).  Anchors stay independent per call, and the InfoNCE softmax
+    never mixes the two batches — exact semantics.
+    """
+    stacked = jnp.stack([feats_a, feats_b])
+    rngs = jnp.stack([rng_a, rng_b])
+    losses = jax.vmap(lambda f, r: cpc_apply(params, f, r))(stacked, rngs)
+    return losses[0], losses[1]
+
+
 def cpc_apply(params: Dict, features: jax.Array, rng: jax.Array) -> jax.Array:
     """InfoNCE loss; features are (B, T, C) channel-last.
 

@@ -196,6 +196,29 @@ def waveglow_forward(
     return audio, log_s_list, log_det_w_list
 
 
+def waveglow_forward_pair(params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch: int):
+    """Run the density direction on two batches in ONE pass.
+
+    Flow ops are strictly per-sample, so concatenating the target and source
+    feature batches is exact and halves the kernel count while doubling the
+    matmul batch (better MXU utilization at UCR batch sizes).  Returns the
+    two (z, log_s_list, log_det_w_list) triples with per-batch logdets
+    (``log_det_W = B*T*logdet(W)`` must use each batch's own B).
+    """
+    ba, bb = x_a.shape[0], x_b.shape[0]
+    t = x_a.shape[1]
+    z, log_s_list, log_det_list = waveglow_forward(
+        params, jnp.concatenate([x_a, x_b], axis=0), n_wn_ch
+    )
+    z_a, z_b = z[:ba], z[ba:]
+    ls_a = [ls[:ba] for ls in log_s_list]
+    ls_b = [ls[ba:] for ls in log_s_list]
+    # rescale the combined (ba+bb)*T*logdet to each batch's share
+    ld_a = [ld * (ba / (ba + bb)) for ld in log_det_list]
+    ld_b = [ld * (bb / (ba + bb)) for ld in log_det_list]
+    return (z_a, ls_a, ld_a), (z_b, ls_b, ld_b)
+
+
 def waveglow_infer(
     params: Dict, noise: jax.Array, n_wn_ch: int, sigma: float = 1.0
 ) -> jax.Array:

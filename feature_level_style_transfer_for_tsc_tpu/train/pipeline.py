@@ -38,6 +38,7 @@ from ..models import (
     ad_net_init,
     ad_net_apply,
     cpc_apply,
+    cpc_apply_pair,
     cpc_init,
     dimension_unification_apply,
     dimension_unification_init,
@@ -59,6 +60,7 @@ from ..models import (
     receptive_field,
     total_out_channels,
     waveglow_forward,
+    waveglow_forward_pair,
     waveglow_infer,
     waveglow_init,
     waveglow_loss,
@@ -326,11 +328,11 @@ class StyleTransferPipeline:
         def loss_fn(params, mstate, bt, lt, bs, ls, rng):
             r1, r2 = jax.random.split(rng)
             t_feat, t_ext_s = self.target_features(params, mstate, bt, True)
-            t_sl = cpc_apply(params["cpc"], t_feat, r1)
             t_logits, _, t_cls_s = self.classify_target(params, mstate, t_feat, True)
             t_ce = cross_entropy(t_logits, lt)
             s_feat, s_ext_s = self.source_features(params, mstate, bs, True)
-            s_sl = cpc_apply(params["cpc"], s_feat, r2)
+            # one vmapped scan for both CPC losses (models/cpc.py)
+            t_sl, s_sl = cpc_apply_pair(params["cpc"], t_feat, s_feat, r1, r2)
             s_logits, _, s_cls_s = self.classify_source(params, mstate, s_feat, True)
             s_ce = cross_entropy(s_logits, ls)
             if supervised:  # every 50th epoch (reference :260)
@@ -390,15 +392,15 @@ class StyleTransferPipeline:
             if supervised:  # every 75th epoch: joint with CE + CPC (:388-420)
                 r1, r2 = jax.random.split(rng)
                 t_feat, new_m["t_ext"] = self.target_features(params, mstate, bt, True)
-                t_sl = cpc_apply(params["cpc"], t_feat, r1)
                 t_logits, _, new_m["t_cls"] = self.classify_target(params, mstate, t_feat, True)
                 t_ce = cross_entropy(t_logits, lt)
                 s_feat, new_m["s_ext"] = self.source_features(params, mstate, bs, True)
-                s_sl = cpc_apply(params["cpc"], s_feat, r2)
+                t_sl, s_sl = cpc_apply_pair(params["cpc"], t_feat, s_feat, r1, r2)
                 s_logits, _, new_m["s_cls"] = self.classify_source(params, mstate, s_feat, True)
                 s_ce = cross_entropy(s_logits, ls)
-                t_nf = waveglow_loss(waveglow_forward(params["nf"], t_feat, wn_ch))
-                s_nf = waveglow_loss(waveglow_forward(params["nf"], s_feat, wn_ch))
+                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
+                t_nf = waveglow_loss(t_out)
+                s_nf = waveglow_loss(s_out)
                 total = t_nf + s_nf + 5 * t_ce + 5 * s_ce + 3 * t_sl + 3 * s_sl
                 return total, ((t_nf, s_nf, t_ce, s_ce), new_m)
             else:  # pure flow likelihood on DETACHED features (:466-481)
@@ -406,8 +408,9 @@ class StyleTransferPipeline:
                 s_feat, new_m["s_ext"] = self.source_features(params, mstate, bs, True)
                 t_feat = jax.lax.stop_gradient(t_feat)
                 s_feat = jax.lax.stop_gradient(s_feat)
-                t_nf = waveglow_loss(waveglow_forward(params["nf"], t_feat, wn_ch))
-                s_nf = waveglow_loss(waveglow_forward(params["nf"], s_feat, wn_ch))
+                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
+                t_nf = waveglow_loss(t_out)
+                s_nf = waveglow_loss(s_out)
                 total = t_nf + s_nf
                 zero = jnp.zeros(())
                 return total, ((t_nf, s_nf, zero, zero), new_m)
@@ -468,12 +471,10 @@ class StyleTransferPipeline:
         new_m = dict(mstate)
 
         t_feat, new_m["t_ext"] = self.target_features(params, mstate, bt, True)
-        t_sl = cpc_apply(params["cpc"], t_feat, r1)
         s_feat, new_m["s_ext"] = self.source_features(params, mstate, bs, True)
-        s_sl = cpc_apply(params["cpc"], s_feat, r2)
-
-        t_nf_out = waveglow_forward(params["nf"], t_feat, wn_ch)
-        s_nf_out = waveglow_forward(params["nf"], s_feat, wn_ch)
+        # batched pair passes: one CPC scan, one flow traversal (exact)
+        t_sl, s_sl = cpc_apply_pair(params["cpc"], t_feat, s_feat, r1, r2)
+        t_nf_out, s_nf_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
         t_nf_loss = waveglow_loss(t_nf_out)
         s_nf_loss = waveglow_loss(s_nf_out)
         t_noise, s_noise = t_nf_out[0], s_nf_out[0]

@@ -1,0 +1,81 @@
+"""Archive sweep: OS-CNN classifier across every dataset in a UCR/UEA root.
+
+The reference has no sweep tooling — each dataset is a hand-edited
+`main.py`.  This runs the supervised OS-CNN pipeline on every
+``<root>/<name>/<name>_{TRAIN,TEST}.ts`` pair and writes a results table.
+
+Every dataset defines its own architecture (the builder derives the layer
+spec from its C and T), so a per-dataset jit compile is inherent; within a
+dataset all epochs share one compiled program.
+
+Usage:
+  python -m feature_level_style_transfer_for_tsc_tpu.cli.archive_sweep \
+      --root Univariate_ts --epochs 100 --out sweep_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ..config import PipelineConfig
+from ..data import TestData, TrainData
+from ..train.classifier import OSCNNClassifier
+
+
+def discover(root: str):
+    for name in sorted(os.listdir(root)):
+        train = os.path.join(root, name, f"{name}_TRAIN.ts")
+        test = os.path.join(root, name, f"{name}_TEST.ts")
+        if os.path.exists(train) and os.path.exists(test):
+            yield name
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--out", default="sweep_results.json")
+    p.add_argument("--datasets", default=None, help="comma-separated subset")
+    p.add_argument("--with-cpc", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    names = args.datasets.split(",") if args.datasets else list(discover(args.root))
+    results = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            d = {}
+            train = TrainData(args.root, f"{name}/{name}_TRAIN.ts", d)
+            test = TestData(args.root, f"{name}/{name}_TEST.ts", d)
+            cfg = PipelineConfig(seed=args.seed)
+            clf = OSCNNClassifier(
+                train.in_channel, train.time_length, train.num_class,
+                config=cfg, with_cpc=args.with_cpc,
+            )
+            state, _ = clf.fit(train, None, epochs=args.epochs, verbose=False)
+            results[name] = {
+                "test_acc": clf.evaluate(state, test.x, test.y),
+                "train_acc": clf.evaluate(state, train.x, train.y),
+                "n_train": train.len,
+                "C": train.in_channel,
+                "T": train.time_length,
+                "classes": train.num_class,
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as e:  # keep sweeping past broken datasets
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(name, results[name])
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    ok = [r for r in results.values() if "test_acc" in r]
+    if ok:
+        mean_acc = sum(r["test_acc"] for r in ok) / len(ok)
+        print(f"\n{len(ok)} datasets, mean test acc {mean_acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,13 +41,20 @@ def main(argv=None):
     p.add_argument("--out", default="train_log")
     p.add_argument("--joint-epochs", type=int, default=720)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--phase-epochs",
+        default=None,
+        help='JSON dict overriding phase lengths, e.g. \'{"p1":1,"p2":1,"p3":1,"p4":1,"p5":2}\'',
+    )
+    p.add_argument("--budget-multiplier", type=float, default=1.0)
     args = p.parse_args(argv)
 
     t_train, t_test, s_train, s_test = build_datasets(
         args.target_root, args.target, args.source_root, args.source
     )
     cfg = PipelineConfig(seed=args.seed, joint_epochs=args.joint_epochs,
-                         checkpoint_dir=args.out)
+                         checkpoint_dir=args.out,
+                         budget_multiplier=args.budget_multiplier)
     pipe = StyleTransferPipeline(
         t_train.in_channel, t_train.time_length, t_train.num_class,
         s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
@@ -57,8 +64,10 @@ def main(argv=None):
     def checkpoint_hook(epoch, state):
         save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"), state["params"])
 
+    epochs = json.loads(args.phase_epochs) if args.phase_epochs else None
     state, history = pipe.run(
-        t_train, t_test, s_train, s_test, checkpoint_hook=checkpoint_hook
+        t_train, t_test, s_train, s_test, epochs=epochs,
+        checkpoint_hook=checkpoint_hook, artifact_dir=args.out,
     )
     save_checkpoint(os.path.join(args.out, "final_state.npz"), state)
     with open(os.path.join(args.out, "history.json"), "w") as f:

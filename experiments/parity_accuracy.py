@@ -24,14 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feature_level_style_transfer_for_tsc_tpu.data.synthetic import make_arrays
 
-EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith('--') else 30
 N_TRAIN, N_TEST, T, C, NCLS, BS = 120, 120, 150, 1, 4, 20
 NOISE = 2.5  # hard enough that accuracy does not saturate
 
 
-def get_data():
-    x_tr, y_tr = make_arrays(N_TRAIN, C, T, NCLS, seed=10, noise=NOISE)
-    x_te, y_te = make_arrays(N_TEST, C, T, NCLS, seed=11, noise=NOISE)
+def get_data(seed_shift=0):
+    x_tr, y_tr = make_arrays(N_TRAIN, C, T, NCLS, seed=10 + seed_shift, noise=NOISE)
+    x_te, y_te = make_arrays(N_TEST, C, T, NCLS, seed=11 + seed_shift, noise=NOISE)
     to_int = {lab: i for i, lab in enumerate(sorted(set(y_tr)))}
     return (
         x_tr, np.asarray([to_int[l] for l in y_tr], np.int64),
@@ -116,11 +116,26 @@ def run_ours(x_tr, y_tr, x_te, y_te):
 
 
 def main():
-    data = get_data()
-    ref = run_reference(*data)
-    ours = run_ours(*data)
+    seeds = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--seeds="):
+            seeds = int(a.split("=")[1])
+    refs, ourss = [], []
+    for s in range(seeds):
+        global NOISE
+        data = get_data(seed_shift=100 * s)
+        refs.append(run_reference(*data))
+        ourss.append(run_ours(*data))
+
+    def agg(rs):
+        return {
+            k: float(np.mean([r[k] for r in rs])) for k in rs[0]
+        } | {k + "_std": float(np.std([r[k] for r in rs])) for k in rs[0] if "acc" in k}
+
+    ref, ours = agg(refs), agg(ourss)
     out = {
-        "config": {"epochs": EPOCHS, "n_train": N_TRAIN, "T": T, "C": C, "classes": NCLS},
+        "config": {"epochs": EPOCHS, "n_train": N_TRAIN, "T": T, "C": C,
+                   "classes": NCLS, "seeds": seeds},
         "reference_torch_cpu": ref,
         "ours_jax": ours,
         "test_acc_gap": ours["test_acc"] - ref["test_acc"],

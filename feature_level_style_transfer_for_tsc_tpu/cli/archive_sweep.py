@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument("--datasets", default=None, help="comma-separated subset")
     p.add_argument("--with-cpc", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget-multiplier", type=float, default=1.0)
     args = p.parse_args(argv)
 
     names = args.datasets.split(",") if args.datasets else list(discover(args.root))
@@ -51,7 +52,7 @@ def main(argv=None):
             d = {}
             train = TrainData(args.root, f"{name}/{name}_TRAIN.ts", d)
             test = TestData(args.root, f"{name}/{name}_TEST.ts", d)
-            cfg = PipelineConfig(seed=args.seed)
+            cfg = PipelineConfig(seed=args.seed, budget_multiplier=args.budget_multiplier)
             clf = OSCNNClassifier(
                 train.in_channel, train.time_length, train.num_class,
                 config=cfg, with_cpc=args.with_cpc,

@@ -564,51 +564,43 @@ class StyleTransferPipeline:
         def step(carry, batch):
             params, mstate, opt, gn, rng = carry
             bt, lt, bs, ls = batch
-            rng, sub, sub_t, sub_s = jax.random.split(rng, 4)
+            rng, sub = jax.random.split(rng)
 
-            grads, (losses, new_m, feats) = jax.grad(total_loss_fn, has_aux=True)(
-                params, mstate, state["consts"], gn["t"].weights, gn["s"].weights,
-                bt, lt, bs, ls, sub, epoch,
-            )
-
-            # ---- GradNorm: per-loss grads w.r.t. the shared trunks ----
-            wn_ch = cfg.flow.wn_channels
-
-            def losses_of_trunk_t(trunk):
-                p = dict(params)
-                p["t_ext"] = dict(params["t_ext"])
-                p["t_ext"]["block"] = trunk
-                t_feat, _ = self.target_features(p, mstate, bt, True)
-                t_nf = waveglow_loss(waveglow_forward(p["nf"], t_feat, wn_ch))
-                t_logits, _, _ = self.classify_target(p, mstate, t_feat, True)
-                return jnp.stack([t_nf, cross_entropy(t_logits, lt)])
-
-            def losses_of_trunk_s(trunk):
-                p = dict(params)
-                p["s_ext"] = dict(params["s_ext"])
-                p["s_ext"]["block"] = trunk
-                s_feat, _ = self.source_features(p, mstate, bs, True)
-                s_nf_out = waveglow_forward(p["nf"], s_feat, wn_ch)
-                s_nf = waveglow_loss(s_nf_out)
-                s_logits, _, _ = self.classify_source(p, mstate, s_feat, True)
-                s_ce = cross_entropy(s_logits, ls)
-                # s2t2s path depends on the source trunk through the noise mix
-                t_nf_out = waveglow_forward(p["nf"], jax.lax.stop_gradient(feats["t_feat"]), wn_ch)
-                s2t_noise, _ = noise_transfer_apply(
-                    p["noise"], mstate["noise"], jax.lax.stop_gradient(t_nf_out[0]), s_nf_out[0]
+            # ONE forward; one VJP pullback per output: [total | t-losses |
+            # s-losses].  Seeding the pullback with a one-hot CONSTANT lets
+            # XLA dead-code-eliminate the other outputs' backward branches,
+            # so each per-loss pull traverses only that loss's ancestors —
+            # the same work as the reference's ``autograd.grad(loss_i,
+            # shared_trunk)`` (train_and_test.py:681-690) without its two
+            # extra forward recomputes.
+            def all_losses(p):
+                total, (losses, new_m, feats) = total_loss_fn(
+                    p, mstate, state["consts"], gn["t"].weights, gn["s"].weights,
+                    bt, lt, bs, ls, sub, epoch,
                 )
-                s2t_feat = waveglow_infer(p["nf"], s2t_noise, wn_ch)
-                _, s2t_pool, _ = self.classify_target(p, mstate, s2t_feat, False)
-                s2t2s_pool = prob_transfer_apply(p["prob_trans"], s2t_pool)
-                s2t2s_logits = os_cnn_head(p["s_cls"], s2t2s_pool)
-                return jnp.stack([s_nf, s_ce, cross_entropy(s2t2s_logits, ls)])
+                vec = jnp.stack(
+                    [total, losses["t_nf"], losses["t_c"], losses["s_nf"],
+                     losses["s_c"], losses["s2t2s_c"]]
+                )
+                return vec, (losses, new_m, feats)
 
-            losses_t_vec, n_t = per_loss_trunk_grad_norms(
-                losses_of_trunk_t, params["t_ext"]["block"], 2
+            vec, pullback, (losses, new_m, feats) = jax.vjp(
+                all_losses, params, has_aux=True
             )
-            losses_s_vec, n_s = per_loss_trunk_grad_norms(
-                losses_of_trunk_s, params["s_ext"]["block"], 3
-            )
+
+            def pull(i):
+                (g,) = pullback(jnp.asarray(np.eye(6, dtype=np.float32)[i]))
+                return g
+
+            def trunk_norm(g, trunk_key):
+                leaves = jax.tree_util.tree_leaves(g[trunk_key]["block"])
+                return jnp.sum(jnp.stack([jnp.linalg.norm(l.reshape(-1)) for l in leaves]))
+
+            grads = pull(0)
+            n_t = jnp.stack([trunk_norm(pull(i), "t_ext") for i in (1, 2)])
+            n_s = jnp.stack([trunk_norm(pull(i), "s_ext") for i in (3, 4, 5)])
+            losses_t_vec = vec[1:3]
+            losses_s_vec = vec[3:6]
             gn_t = gradnorm_step(
                 gn["t"], losses_t_vec, n_t, self.tx_weights_t,
                 alpha=cfg.gradnorm.alpha, weight_sum=cfg.gradnorm.weights_t_sum,

@@ -55,7 +55,7 @@ def test_cli_archive_sweep(tmp_path):
     _make_archive(root, "A1", c=1, t=16, ncls=2, seed=0)
     _make_archive(root, "A2", c=1, t=20, ncls=3, seed=7)
     out = str(tmp_path / "sweep.json")
-    main(["--root", root, "--epochs", "2", "--out", out])
+    main(["--root", root, "--epochs", "2", "--out", out, "--budget-multiplier", "0.02"])
     res = json.load(open(out))
     assert set(res) == {"A1", "A2"}
     # archive_sweep uses full budgets; just check it produced accuracies

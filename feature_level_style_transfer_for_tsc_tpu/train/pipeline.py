@@ -701,6 +701,7 @@ class StyleTransferPipeline:
         eval_hook=None,
         checkpoint_hook=None,
         artifact_dir: Optional[str] = None,
+        log_every: int = 1,
     ):
         """Run the full curriculum (phase lengths overridable for testing)."""
         cfg = self.config
@@ -719,6 +720,10 @@ class StyleTransferPipeline:
         history = []
 
         def log(phase, e, metrics):
+            # Materializing metrics forces a device sync; throttle with
+            # log_every to keep long curricula dispatch-bound, not sync-bound.
+            if e % log_every and phase not in ("p5_eval",):
+                return
             rec = {"phase": phase, "epoch": e}
             rec.update(
                 {

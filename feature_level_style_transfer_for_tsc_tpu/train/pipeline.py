@@ -702,6 +702,7 @@ class StyleTransferPipeline:
         checkpoint_hook=None,
         artifact_dir: Optional[str] = None,
         log_every: int = 1,
+        log_file: Optional[str] = None,
     ):
         """Run the full curriculum (phase lengths overridable for testing)."""
         cfg = self.config
@@ -718,6 +719,11 @@ class StyleTransferPipeline:
             state = self.init_state(jax.random.PRNGKey(cfg.seed))
         skey = jax.random.PRNGKey(cfg.seed + 1)
         history = []
+        file_logger = None
+        if log_file:
+            from ..utils.logging import FileLogger
+
+            file_logger = FileLogger(log_file)
 
         def log(phase, e, metrics):
             # Materializing metrics forces a device sync; throttle with
@@ -732,6 +738,8 @@ class StyleTransferPipeline:
                 }
             )
             history.append(rec)
+            if file_logger:
+                file_logger.log(rec)
             if verbose:
                 print(rec)
 

@@ -47,6 +47,11 @@ def main(argv=None):
         help='JSON dict overriding phase lengths, e.g. \'{"p1":1,"p2":1,"p3":1,"p4":1,"p5":2}\'',
     )
     p.add_argument("--budget-multiplier", type=float, default=1.0)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from <out>/final_state.npz (full state: params, all "
+        "optimizer moments, schedulers, GradNorm weights, PRNG)",
+    )
     args = p.parse_args(argv)
 
     t_train, t_test, s_train, s_test = build_datasets(
@@ -64,10 +69,22 @@ def main(argv=None):
     def checkpoint_hook(epoch, state):
         save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"), state["params"])
 
+    state = None
+    resume_path = os.path.join(args.out, "final_state.npz")
+    if args.resume and os.path.exists(resume_path):
+        import jax
+
+        from ..io import restore_checkpoint
+
+        template = pipe.init_state(jax.random.PRNGKey(cfg.seed))
+        state = restore_checkpoint(resume_path, template)
+        print(f"resumed from {resume_path}")
+
     epochs = json.loads(args.phase_epochs) if args.phase_epochs else None
     state, history = pipe.run(
-        t_train, t_test, s_train, s_test, epochs=epochs,
+        t_train, t_test, s_train, s_test, epochs=epochs, state=state,
         checkpoint_hook=checkpoint_hook, artifact_dir=args.out,
+        log_file=os.path.join(args.out, "log.jsonl"),
     )
     save_checkpoint(os.path.join(args.out, "final_state.npz"), state)
     with open(os.path.join(args.out, "history.json"), "w") as f:

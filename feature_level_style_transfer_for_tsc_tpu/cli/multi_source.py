@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--out", default="multi_log")
     p.add_argument("--joint-epochs", type=int, default=720)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--member-checkpoints", default=None,
+        help="comma-separated member .npz checkpoints: skip training and "
+        "vote directly (reference multi_source_voting.py loads 3 tars)",
+    )
     args = p.parse_args(argv)
 
     sources = args.sources.split(",")
@@ -50,6 +55,20 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     members = []
+    if args.member_checkpoints:
+        import jax
+
+        from ..io import restore_checkpoint
+        from ..train.classifier import OSCNNClassifier
+
+        model_def = OSCNNClassifier(
+            t_train.in_channel, t_train.time_length, t_train.num_class, with_cpc=False
+        )
+        st = model_def.init_state(jax.random.PRNGKey(0))
+        template = {"params": st["params"], "mstate": st["mstate"]}
+        for path in args.member_checkpoints.split(","):
+            members.append(restore_checkpoint(path, template))
+        sources = []
     for i, source in enumerate(sources):
         source_dict = {}
         s_train = TrainData(args.source_root, f"{source}/{source}_TRAIN.ts", source_dict)

@@ -138,14 +138,20 @@ def gru_cell(params: Dict, x, h):
     return (1 - z) * n + z * h
 
 
-def gru_scan(params: Dict, xs: jax.Array, h0: jax.Array) -> jax.Array:
-    """Run a GRU over (B, T, C) returning all hidden states (B, T, H)."""
+def gru_scan(params: Dict, xs: jax.Array, h0: jax.Array, unroll: int = 8) -> jax.Array:
+    """Run a GRU over (B, T, C) returning all hidden states (B, T, H).
+
+    Unrolled: each scan iteration's matmuls are tiny, so sequential-dispatch
+    latency dominates on TPU without unrolling.
+    """
 
     def step(h, x_t):
         h_new = gru_cell(params, x_t, h)
         return h_new, h_new
 
-    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    _, hs = jax.lax.scan(
+        step, h0, jnp.swapaxes(xs, 0, 1), unroll=min(unroll, xs.shape[1])
+    )
     return jnp.swapaxes(hs, 0, 1)
 
 

@@ -11,10 +11,13 @@ reused by the main pipeline (train_and_test.py:20,131-134):
   summed over the diagonal.
 
 TPU-first notes: the reference runs the GRU on the variable-length prefix
-``z[:, :t+1]``; a causal GRU's output at index t is identical when run over
-the full sequence, so we scan the whole (static-shape) sequence and take the
-output at the (dynamic) anchor — jit-friendly, no recompilation per anchor.
-The reference's CPU-tensor bug (train.py:61,68) disappears by construction.
+``z[:, :t+1]`` with ``t < timestep/2``; a causal GRU's output at index t
+only depends on steps <= t, so scanning the STATIC maximal prefix
+(``timestep//2`` steps) and taking the output at the dynamic anchor is
+exact, jit-friendly, and avoids both per-anchor recompilation and scanning
+the full sequence.  The scan is unrolled x8 (sequential tiny GRU matmuls
+are latency-bound on TPU).  The reference's CPU-tensor bug (train.py:61,68)
+disappears by construction.
 """
 
 from __future__ import annotations
@@ -69,7 +72,9 @@ def cpc_apply(params: Dict, features: jax.Array, rng: jax.Array) -> jax.Array:
     idx = t_samples + 1 + jnp.arange(timestep)
     encode_samples = jnp.take(z, idx, axis=1).transpose(1, 0, 2)
 
-    output = gru_scan(params["gru"], z, jnp.zeros((b, hidden)))
+    # anchor t < timestep//2, so only the first timestep//2 GRU steps matter
+    prefix = max(timestep // 2, 1)
+    output = gru_scan(params["gru"], z[:, :prefix], jnp.zeros((b, hidden)))
     c_t = jnp.take(output, t_samples, axis=1)  # (B, hidden)
 
     pred = jnp.stack([c_t @ p["weight"] + p["bias"] for p in params["wk"]])  # (ts,B,C)

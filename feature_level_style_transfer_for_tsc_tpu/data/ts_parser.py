@@ -33,6 +33,8 @@ def load_from_tsfile(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """
     from .native import load_from_tsfile_native, native_available
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such .ts file: {path}")
     if native_available():
         return load_from_tsfile_native(path)
     return _load_from_tsfile_py(path)

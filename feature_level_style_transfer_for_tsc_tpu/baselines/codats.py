@@ -21,7 +21,7 @@ from 3 to K source domains:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,7 @@ from ..models import (
 )
 from ..models.common import conv1x1, conv1x1_init, linear_init
 from ..structure import default_parameter_budgets
-from .common import make_adam_steplr, steplr_value
+from .common import steplr_value
 
 
 class CoDATSPipeline:

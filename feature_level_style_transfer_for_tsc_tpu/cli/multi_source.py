@@ -25,7 +25,7 @@ import os
 import jax
 import numpy as np
 
-from ..config import PipelineConfig, VotingConfig
+from ..config import PipelineConfig
 from ..data import TestData, TrainData
 from ..io import save_checkpoint, save_prediction_strip
 from ..parallel import MultiSourceEnsemble, make_mesh
@@ -46,7 +46,10 @@ def main(argv=None):
         help="comma-separated member .npz checkpoints: skip training and "
         "vote directly (reference multi_source_voting.py loads 3 tars)",
     )
+    p.add_argument("--phase-epochs", default=None, help="JSON phase-length override")
+    p.add_argument("--budget-multiplier", type=float, default=1.0)
     args = p.parse_args(argv)
+    phase_epochs = json.loads(args.phase_epochs) if args.phase_epochs else None
 
     sources = args.sources.split(",")
     target_dict = {}
@@ -61,8 +64,10 @@ def main(argv=None):
         from ..io import restore_checkpoint
         from ..train.classifier import OSCNNClassifier
 
+        cfg0 = PipelineConfig(budget_multiplier=args.budget_multiplier)
         model_def = OSCNNClassifier(
-            t_train.in_channel, t_train.time_length, t_train.num_class, with_cpc=False
+            t_train.in_channel, t_train.time_length, t_train.num_class,
+            config=cfg0, with_cpc=False,
         )
         st = model_def.init_state(jax.random.PRNGKey(0))
         template = {"params": st["params"], "mstate": st["mstate"]}
@@ -73,12 +78,15 @@ def main(argv=None):
         source_dict = {}
         s_train = TrainData(args.source_root, f"{source}/{source}_TRAIN.ts", source_dict)
         s_test = TestData(args.source_root, f"{source}/{source}_TEST.ts", source_dict)
-        cfg = PipelineConfig(seed=args.seed + i, joint_epochs=args.joint_epochs)
+        cfg = PipelineConfig(seed=args.seed + i, joint_epochs=args.joint_epochs,
+                             budget_multiplier=args.budget_multiplier)
         pipe = StyleTransferPipeline(
             t_train.in_channel, t_train.time_length, t_train.num_class,
             s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
         )
-        state, history = pipe.run(t_train, t_test, s_train, s_test, verbose=False)
+        state, history = pipe.run(
+            t_train, t_test, s_train, s_test, epochs=phase_epochs, verbose=False
+        )
         members.append(
             {
                 "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
@@ -93,7 +101,8 @@ def main(argv=None):
     if len(jax.devices()) >= domain:
         mesh = make_mesh(data=1, domain=domain, devices=jax.devices()[:domain])
     ens = MultiSourceEnsemble(
-        t_train.in_channel, t_train.time_length, t_train.num_class, mesh=mesh
+        t_train.in_channel, t_train.time_length, t_train.num_class,
+        config=PipelineConfig(budget_multiplier=args.budget_multiplier), mesh=mesh,
     )
     stacked = ens.stack(members)
     result = ens.evaluate(stacked, t_train, t_test)

@@ -17,7 +17,7 @@ reproducing SLARDA's head-skipping partial load
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import jax
 import numpy as np

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.batchnorm import BNStats, batch_norm, init_bn_stats
+from ..ops.batchnorm import batch_norm, init_bn_stats
 from ..ops.osconv import build_os_mask, init_os_conv_params, masked_os_conv
 from .common import conv1x1_init, linear, linear_init
 from .structure import LayerSpec, total_out_channels

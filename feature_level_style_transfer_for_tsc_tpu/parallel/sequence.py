@@ -23,8 +23,6 @@ dilated halo sizes ``dilation * (k-1)//2``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -38,7 +38,7 @@ from ..models import (
     total_out_channels,
 )
 from ..models.structure import default_parameter_budgets
-from .optim import get_lr, make_adam, make_rmsprop, set_lr, step_lr
+from .optim import make_adam, make_rmsprop, set_lr, step_lr
 
 
 class OSCNNClassifier:

@@ -22,7 +22,7 @@ Phases (reference line refs):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,11 +32,10 @@ from ..config import PipelineConfig
 from ..data.batching import epoch_batches
 from ..losses.cdan import cdan_loss
 from ..losses.classification import cross_entropy
-from ..losses.gradnorm import gradnorm_init, gradnorm_step, per_loss_trunk_grad_norms
+from ..losses.gradnorm import gradnorm_init, gradnorm_step
 from ..losses.wgan import wgan_loss
 from ..models import (
     ad_net_init,
-    ad_net_apply,
     cpc_apply,
     cpc_apply_pair,
     cpc_init,
@@ -59,7 +58,6 @@ from ..models import (
     random_layer_init,
     receptive_field,
     total_out_channels,
-    waveglow_forward,
     waveglow_forward_pair,
     waveglow_infer,
     waveglow_init,
@@ -67,7 +65,6 @@ from ..models import (
 )
 from ..models.structure import default_parameter_budgets
 from .optim import (
-    PlateauState,
     clip_params,
     make_adam,
     make_rmsprop,

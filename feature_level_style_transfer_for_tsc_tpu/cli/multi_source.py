@@ -59,8 +59,6 @@ def main(argv=None):
 
     members = []
     if args.member_checkpoints:
-        import jax
-
         from ..io import restore_checkpoint
         from ..train.classifier import OSCNNClassifier
 

@@ -72,3 +72,26 @@ def test_epoch_batches_wraparound():
 def test_synthetic_is_znormalized():
     ds = make_dataset(16, 3, 64, 2, seed=6)
     assert check_z_normalized(ds.x)
+
+
+def test_preprocess_znorm_and_windows():
+    import jax.numpy as jnp
+
+    from feature_level_style_transfer_for_tsc_tpu.data.preprocess import (
+        sliding_windows,
+        windows_as_batch,
+        znormalize,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 20, 2)) * 5 + 2)
+    z = znormalize(x)
+    np.testing.assert_allclose(np.asarray(jnp.mean(z, axis=1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.std(z, axis=1)), 1.0, atol=1e-3)
+
+    w = sliding_windows(x, window=8, stride=4)
+    assert w.shape == (3, 4, 8, 2)  # starts at 0,4,8,12
+    np.testing.assert_allclose(np.asarray(w[:, 1]), np.asarray(x[:, 4:12]))
+
+    xb, yb = windows_as_batch(x, jnp.asarray([0, 1, 2]), 8, 4)
+    assert xb.shape == (12, 8, 2)
+    np.testing.assert_array_equal(np.asarray(yb), np.repeat([0, 1, 2], 4))

@@ -61,3 +61,27 @@ def test_normalize_model_weights():
     out = np.asarray(normalize_model_weights(w))
     # per-class mean: [2.0, 0.0]; zero-mean class -> nan -> 0
     np.testing.assert_allclose(out, [[0.5, 0.0], [1.5, 0.0]])
+
+
+def test_predicted_label_vote_matches_numpy_reference():
+    """Transcription of visualization.py:414-430 (base-12 variant)."""
+    from feature_level_style_transfer_for_tsc_tpu.evaluation.voting import (
+        predicted_label_vote,
+    )
+
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((2, 11, 3)).astype(np.float32) * 2
+    weights = rng.uniform(0, 2, (2, 3)).astype(np.float32)
+
+    results = []
+    for lg, w in zip(logits, weights):
+        probs = np.copy(lg)
+        for i in range(len(probs)):
+            probs[i] = np.exp(probs[i]) / np.sum(np.exp(probs[i]))
+            ent = -np.sum(probs[i] * np.log(probs[i]))
+            the_label = np.argmax(probs[i])
+            probs[i] = probs[i] * (1 + 120 * np.exp(-ent)) * np.power(12.0, w[the_label])
+        results.append(probs)
+    want = np.argmax(sum(results), axis=1)
+    got = np.asarray(predicted_label_vote(jnp.asarray(logits), jnp.asarray(weights)))
+    np.testing.assert_array_equal(got, want)

@@ -69,3 +69,25 @@ def partial_restore(path: str, like, skip_substrings: Iterable[str]):
         else:
             new_leaves.append(jax.numpy.asarray(data[key]).astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(like), new_leaves)
+
+
+# --------------------------------------------------------------- orbax -----
+
+def save_checkpoint_orbax(path: str, state) -> None:
+    """Orbax backend (async-capable, sharding-aware) for pod-scale states.
+
+    The .npz format above is the default (single-host, dependency-free);
+    orbax becomes preferable once states are sharded across a mesh.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(path: str, like):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)

@@ -93,3 +93,19 @@ def test_artifacts(tmp_path):
 
     img = Image.open(str(tmp_path / "strip.png"))
     assert img.size[0] > 0
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    from feature_level_style_transfer_for_tsc_tpu.io.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    clf = _clf()
+    state = clf.init_state(jax.random.PRNGKey(0))
+    path = str(tmp_path / "orbax_state")
+    save_checkpoint_orbax(path, state)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint_orbax(path, zeros)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

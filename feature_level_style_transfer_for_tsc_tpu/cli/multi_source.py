@@ -72,27 +72,38 @@ def main(argv=None):
         for path in args.member_checkpoints.split(","):
             members.append(restore_checkpoint(path, template))
         sources = []
-    for i, source in enumerate(sources):
-        source_dict = {}
-        s_train = TrainData(args.source_root, f"{source}/{source}_TRAIN.ts", source_dict)
-        s_test = TestData(args.source_root, f"{source}/{source}_TEST.ts", source_dict)
-        cfg = PipelineConfig(seed=args.seed + i, joint_epochs=args.joint_epochs,
-                             budget_multiplier=args.budget_multiplier)
-        pipe = StyleTransferPipeline(
-            t_train.in_channel, t_train.time_length, t_train.num_class,
-            s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
-        )
-        state, history = pipe.run(
-            t_train, t_test, s_train, s_test, epochs=phase_epochs, verbose=False
-        )
-        members.append(
-            {
+    def make_member_fn(i, source):
+        def fn():
+            source_dict = {}
+            s_train = TrainData(args.source_root, f"{source}/{source}_TRAIN.ts", source_dict)
+            s_test = TestData(args.source_root, f"{source}/{source}_TEST.ts", source_dict)
+            cfg = PipelineConfig(seed=args.seed + i, joint_epochs=args.joint_epochs,
+                                 budget_multiplier=args.budget_multiplier)
+            pipe = StyleTransferPipeline(
+                t_train.in_channel, t_train.time_length, t_train.num_class,
+                s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
+            )
+            state, history = pipe.run(
+                t_train, t_test, s_train, s_test, epochs=phase_epochs, verbose=False
+            )
+            member = {
                 "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
                 "mstate": {"ext": state["mstate"]["t_ext"], "cls": state["mstate"]["t_cls"]},
             }
+            save_checkpoint(os.path.join(args.out, f"member_{source}.npz"), member)
+            print(f"[{source}] final:", history[-1])
+            return member
+
+        return fn
+
+    if sources:
+        # K heterogeneous pipelines round-robined across devices (one chip
+        # here -> sequential; a pod slice trains members concurrently)
+        from ..parallel.multi_pipeline import train_members_parallel
+
+        members.extend(
+            train_members_parallel([make_member_fn(i, s) for i, s in enumerate(sources)])
         )
-        save_checkpoint(os.path.join(args.out, f"member_{source}.npz"), members[-1])
-        print(f"[{source}] final:", history[-1])
 
     domain = len(members)
     mesh = None

@@ -145,3 +145,26 @@ def test_time_sharded_conv_matches_unsharded():
     mesh = make_mesh(data=4, domain=1)
     got = time_sharded_os_conv(mesh, x, params["weight"], params["bias"], mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_train_members_parallel_matches_sequential():
+    """Round-robin device-pinned member training == sequential results."""
+    from feature_level_style_transfer_for_tsc_tpu.parallel.multi_pipeline import (
+        train_members_parallel,
+    )
+
+    cfg = tiny_config(bs=4)
+    datasets = [make_dataset(8, 1, 16, 2, seed=s) for s in (0, 1, 2)]
+
+    def make_member(seed, ds):
+        def fn():
+            clf = OSCNNClassifier(1, 16, 2, config=cfg, with_cpc=False)
+            state, _ = clf.fit(ds, None, epochs=2, verbose=False)
+            return clf.evaluate(state, ds.x, ds.y)
+
+        return fn
+
+    fns = [make_member(s, ds) for s, ds in enumerate(datasets)]
+    seq = [fn() for fn in fns]
+    par = train_members_parallel(fns, devices=jax.devices()[:3])
+    assert par == seq

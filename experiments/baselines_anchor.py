@@ -2,9 +2,10 @@
 
 Runs both comparison baselines at reduced epoch counts (flagged) on
 multivariate synthetic domains and records target test accuracy and
-training throughput.  (The reference's own Comparison scripts need the UEA
-archive, which is not in this zero-egress image; the pipelines themselves
-are parity-tested in tests/test_baselines.py.)
+training throughput.  The matching torch-side
+anchors come from experiments/reference_baselines_anchor.py, which drives
+the reference's own modules through its Comparison loops on the SAME
+synthetic domains, epochs and discriminator sizes.
 
 Usage: python experiments/baselines_anchor.py
 """
@@ -43,9 +44,12 @@ def main():
     t_test = ds(120, 2, 31, 1.5, td, is_train=False)
     s1 = ds(120, 1, 40, 0.8)
     s2 = ds(120, 3, 50, 1.0)
+    # discriminator sized exactly like the reference's
+    # Discriminator_ATT(T, 128, 8, 8, 64[, K+1]) so the measured comparison
+    # vs experiments/reference_baselines_anchor.py is apples-to-apples
     codats = CoDATSPipeline(
         (2, T, NCLS), [(1, T, NCLS), (3, T, NCLS)], config=cfg,
-        disc_hid=64, disc_depth=4, disc_heads=4, disc_mlp=32,
+        disc_hid=128, disc_depth=8, disc_heads=8, disc_mlp=64,
     )
     epochs = 60
     t0 = time.perf_counter()
@@ -66,7 +70,7 @@ def main():
     s_train2 = ds(150, 3, 70, 0.8)
     slarda = SLARDAPipeline(
         (2, T, NCLS), (3, T, NCLS), config=cfg,
-        disc_hid=64, disc_depth=4, disc_heads=4, disc_mlp=32,
+        disc_hid=128, disc_depth=8, disc_heads=8, disc_mlp=64,
     )
     t0 = time.perf_counter()
     _, hist = slarda.fit(

@@ -1,0 +1,217 @@
+"""FULL-LENGTH accuracy parity: our 5-phase pipeline vs the reference's own
+`train()` at the reference's complete curriculum (3/70/325/600/720).
+
+The reference side imports and calls `/root/reference/train_and_test.py`'s
+`train()` VERBATIM (with_nvidia=False) on duck-typed synthetic datasets —
+every phase, scheduler, GradNorm update and eval exactly as shipped.  Two
+behavior-preserving patches keep a CPU run feasible (accuracy unchanged):
+
+  * `torch.autograd.set_detect_anomaly` -> no-op (the reference wraps all
+    of training in anomaly mode, train_and_test.py:24 — a debug device that
+    multiplies CPU wall time);
+  * checkpoint tars + feature .npy dumps -> no-ops (disk only; accuracies
+    come from the reference's own `numpy_saved_with_accuracy/the_log.txt`,
+    written by utils.eval_model_testdata every 2 phase-5 epochs).
+
+Ours runs `StyleTransferPipeline.run` at the identical curriculum on the
+same data.  Both sides see the SAME arrays and the same integer labels.
+
+Usage:
+  python experiments/parity_fullscale.py ours [seed ...]      # TPU, minutes
+  python experiments/parity_fullscale.py reference [seed ...] # CPU, hours
+Each invocation merges its rows into results_parity_fullscale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import make_arrays
+
+# GunPoint-scale pair, hard enough not to saturate (cf. parity_accuracy.py)
+N_TRAIN, N_TEST = 20, 60
+T_T, C_T, N_CLS_T = 150, 1, 4
+T_S, C_S, N_CLS_S = 150, 1, 4
+NOISE_T, NOISE_S = 2.5, 1.5
+RESULTS = os.path.join(HERE, "results_parity_fullscale.json")
+EPOCHS = {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}  # reference defaults
+
+
+def get_pair(seed):
+    """(x, y_int) for target/source train+test, identical for both sides."""
+    out = {}
+    for name, (n, c, t, ncls, noise, s) in {
+        "t_train": (N_TRAIN, C_T, T_T, N_CLS_T, NOISE_T, 100 + seed),
+        "t_test": (N_TEST, C_T, T_T, N_CLS_T, NOISE_T, 200 + seed),
+        "s_train": (N_TRAIN, C_S, T_S, N_CLS_S, NOISE_S, 300 + seed),
+        "s_test": (N_TEST, C_S, T_S, N_CLS_S, NOISE_S, 400 + seed),
+    }.items():
+        x, y_str = make_arrays(n, c, t, ncls, seed=s, noise=noise)
+        labels = sorted(set(y_str))
+        out[name] = (x, np.asarray([labels.index(v) for v in y_str], np.int64))
+    return out
+
+
+def _merge(row_key, row):
+    data = {}
+    if os.path.exists(RESULTS):
+        data = json.load(open(RESULTS))
+    data[row_key] = row
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(row_key, row, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+
+def run_reference(seed):
+    import types
+
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    if not hasattr(torch, "qr"):
+        torch.qr = lambda a: torch.linalg.qr(a)
+    if not hasattr(np, "float"):
+        np.float = float
+    if "sktime" not in sys.modules:
+        sk = types.ModuleType("sktime")
+        skd = types.ModuleType("sktime.datasets")
+        skd.load_from_tsfile = lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
+        sk.datasets = skd
+        sys.modules["sktime"] = sk
+        sys.modules["sktime.datasets"] = skd
+    sys.path.insert(0, "/root/reference")
+
+    # scratch cwd: train() writes logs/checkpoints with relative paths
+    scratch = os.path.join(HERE, f"_ref_fullscale_seed{seed}")
+    for sub in ("train_log", "numpy_saved_with_accuracy/feature_of_target_s2t",
+                "numpy_saved_with_accuracy/feature_of_source_t2s"):
+        os.makedirs(os.path.join(scratch, sub), exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(scratch)
+    try:
+        torch.autograd.set_detect_anomaly = lambda *a, **k: None  # wall time only
+        import train_and_test as tt
+
+        tt.save_target_classification_modules = lambda *a, **k: None
+        tt.save_source_classification_modules = lambda *a, **k: None
+        _np_save = np.save
+        np.save = lambda *a, **k: None  # feature dumps, disk only
+
+        class DuckData(torch.utils.data.Dataset):
+            def __init__(self, x, y):
+                self.x = torch.from_numpy(x).float()
+                self.y = torch.from_numpy(y).long()
+                self.len = x.shape[0]
+                self.in_channel = x.shape[1]
+                self.time_length = x.shape[2]
+                self.num_class = int(y.max()) + 1
+
+            def __len__(self):
+                return self.len
+
+            def __getitem__(self, i):
+                return self.x[i], self.y[i]
+
+        pair = get_pair(seed)
+        torch.manual_seed(seed)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        # stdout is enormous (per-batch prints); send it to a file
+        import contextlib
+
+        with open("stdout.log", "w") as out, contextlib.redirect_stdout(out):
+            tt.train(
+                DuckData(*pair["t_train"]), DuckData(*pair["t_test"]),
+                DuckData(*pair["s_train"]), DuckData(*pair["s_test"]),
+                False, epoch_num=EPOCHS["p5"],
+            )
+        wall = _time.perf_counter() - t0
+        np.save = _np_save
+
+        accs = []
+        with open("numpy_saved_with_accuracy/the_log.txt") as f:
+            for line in f:
+                if "accuracy_for_test:" in line and "source" not in line:
+                    accs.append(float(line.strip().split("accuracy_for_test:")[1]))
+        row = {
+            "final_test_acc": accs[-1],
+            "best_test_acc": max(accs),
+            "last10_mean": float(np.mean(accs[-10:])),
+            "n_evals": len(accs),
+            "wall_s": round(wall, 1),
+            "epochs": EPOCHS,
+        }
+    finally:
+        os.chdir(cwd)
+    _merge(f"reference_seed{seed}", row)
+
+
+# ---------------------------------------------------------------------------
+# ours
+# ---------------------------------------------------------------------------
+
+def run_ours(seed):
+    import time as _time
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.data.dataset import TsClassificationData
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import StyleTransferPipeline
+
+    pair = get_pair(seed)
+
+    def ds(name, d, is_train):
+        x, y = pair[name]
+        labels = np.asarray([f"c{v}" for v in y])
+        return TsClassificationData(label_dict=d, is_train=is_train, arrays=(x, labels))
+
+    td, sd = {}, {}
+    t_train = ds("t_train", td, True)
+    t_test = ds("t_test", td, False)
+    s_train = ds("s_train", sd, True)
+    s_test = ds("s_test", sd, False)
+    # label parity check: c0..c3 sorted == insertion-consistent int mapping
+    assert list(t_train.y[:5]) == list(pair["t_train"][1][:5])
+
+    cfg = PipelineConfig(seed=seed)
+    pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, cfg)
+    accs = []
+    t0 = _time.perf_counter()
+    state, history = pipe.run(
+        t_train, t_test, s_train, s_test, epochs=EPOCHS, verbose=False,
+        pretrain_eval_every=0, log_every=50,
+        eval_hook=lambda e, st, a: accs.append(a["target_test_acc"]),
+    )
+    wall = _time.perf_counter() - t0
+    row = {
+        "final_test_acc": accs[-1],
+        "best_test_acc": max(accs),
+        "last10_mean": float(np.mean(accs[-10:])),
+        "n_evals": len(accs),
+        "wall_s": round(wall, 1),
+        "epochs": EPOCHS,
+    }
+    _merge(f"ours_seed{seed}", row)
+
+
+def main():
+    side = sys.argv[1]
+    seeds = [int(s) for s in sys.argv[2:]] or [0]
+    for seed in seeds:
+        (run_reference if side == "reference" else run_ours)(seed)
+
+
+if __name__ == "__main__":
+    main()

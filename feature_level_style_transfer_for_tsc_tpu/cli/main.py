@@ -69,6 +69,14 @@ def main(argv=None):
     def checkpoint_hook(epoch, state):
         save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"), state["params"])
 
+    def phase_checkpoint_hook(phase, state):
+        # analogue of the reference's post-phase-3 classifier_itself.tar
+        # (train_and_test.py:364-372), generalized to every phase boundary;
+        # these params-only files feed cli.multi_source --member-checkpoints
+        save_checkpoint(
+            os.path.join(args.out, f"{phase}_classifier_itself.npz"), state["params"]
+        )
+
     state = None
     resume_path = os.path.join(args.out, "final_state.npz")
     if args.resume and os.path.exists(resume_path):
@@ -83,7 +91,8 @@ def main(argv=None):
     epochs = json.loads(args.phase_epochs) if args.phase_epochs else None
     state, history = pipe.run(
         t_train, t_test, s_train, s_test, epochs=epochs, state=state,
-        checkpoint_hook=checkpoint_hook, artifact_dir=args.out,
+        checkpoint_hook=checkpoint_hook,
+        phase_checkpoint_hook=phase_checkpoint_hook, artifact_dir=args.out,
         log_file=os.path.join(args.out, "log.jsonl"),
     )
     save_checkpoint(os.path.join(args.out, "final_state.npz"), state)

@@ -78,6 +78,11 @@ class PipelineConfig:
     #: scales the OS-CNN parameter budgets (1.0 = reference budgets
     #: train_and_test.py:38-39); tests shrink it to keep models tiny.
     budget_multiplier: float = 1.0
+    #: "bfloat16" runs the OS-CNN conv path (the FLOP carrier) in bf16 on
+    #: the MXU; BatchNorm stats, losses and the flow's invertible mixings
+    #: (pinned at HIGHEST precision) stay f32.  Default f32 end to end —
+    #: measured accept/decline note in docs/DESIGN.md.
+    compute_dtype: str = "float32"
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -75,6 +75,13 @@ def cdan_loss(
     w_t = w_t / jax.lax.stop_gradient(jnp.sum(w_t))
     w_s = w_s / jax.lax.stop_gradient(jnp.sum(w_s))
 
-    distance_target = jnp.sum(w_t * target_out[:, 0])
-    distance_s2t = jnp.sum(w_s * s2t_out[:, 0])
+    # Reference quirk, replicated exactly: the ``.view(-1, 1)`` at
+    # C_DAN.py:75,77 is never assigned, so ``weight (B,) * critic_out (B,1)``
+    # BROADCASTS to (B, B) and the sum at :79-80 is Σ_i Σ_j w_j·out_i =
+    # (Σw)·(Σout).  The forward value equals Σout (weights sum to 1 via the
+    # detached denominator), but the entropy-GRL gradient path sees Σout per
+    # weight — NOT the per-sample weighting the code appears to intend.
+    # Verified by weight-transplant (tests/test_torch_parity.py::TestCDAN).
+    distance_target = jnp.sum(w_t) * jnp.sum(target_out[:, 0])
+    distance_s2t = jnp.sum(w_s) * jnp.sum(s2t_out[:, 0])
     return distance_target - distance_s2t, state2

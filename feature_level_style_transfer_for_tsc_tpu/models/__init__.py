@@ -45,6 +45,7 @@ from .critics import (  # noqa: F401
     CriticState,
     ad_net_apply,
     ad_net_init,
+    critic_state_init,
     feature_discriminator_apply,
     feature_discriminator_init,
     random_layer_apply,

@@ -40,7 +40,12 @@ def cpc_init(key, num_channels: int, gru_hidden_dim: int, timestep: int) -> Dict
 
 
 def cpc_apply_pair(
-    params: Dict, feats_a: jax.Array, feats_b: jax.Array, rng_a, rng_b
+    params: Dict,
+    feats_a: jax.Array,
+    feats_b: jax.Array,
+    rng_a,
+    rng_b,
+    anchors=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two independent CPC losses in one vmapped pass.
 
@@ -52,21 +57,35 @@ def cpc_apply_pair(
     """
     stacked = jnp.stack([feats_a, feats_b])
     rngs = jnp.stack([rng_a, rng_b])
-    losses = jax.vmap(lambda f, r: cpc_apply(params, f, r))(stacked, rngs)
+    if anchors is None:
+        losses = jax.vmap(lambda f, r: cpc_apply(params, f, r))(stacked, rngs)
+    else:
+        anc = jnp.stack([jnp.asarray(a, jnp.int32) for a in anchors])
+        losses = jax.vmap(lambda f, r, a: cpc_apply(params, f, r, anchor=a))(
+            stacked, rngs, anc
+        )
     return losses[0], losses[1]
 
 
-def cpc_apply(params: Dict, features: jax.Array, rng: jax.Array) -> jax.Array:
+def cpc_apply(
+    params: Dict, features: jax.Array, rng: jax.Array, anchor=None
+) -> jax.Array:
     """InfoNCE loss; features are (B, T, C) channel-last.
 
     (The reference receives (B, C, T) and transposes, train.py:55-58; our
-    layout is already time-major-after-batch.)
+    layout is already time-major-after-batch.)  ``anchor`` overrides the
+    random anchor draw — used by parity tests to pin the reference's
+    ``torch.randint(timestep//2)`` draw (train.py:58) to the same value.
     """
     z = features
     b, t_len, c = z.shape
     timestep = len(params["wk"])
     hidden = params["gru"]["w_hh"].shape[0]
-    t_samples = jax.random.randint(rng, (), 0, timestep // 2)
+    t_samples = (
+        jax.random.randint(rng, (), 0, timestep // 2)
+        if anchor is None
+        else jnp.asarray(anchor, jnp.int32)
+    )
 
     # Future ground-truth samples z[:, t+1 .. t+timestep] -> (timestep, B, C)
     idx = t_samples + 1 + jnp.arange(timestep)

@@ -125,8 +125,17 @@ def _dilated_conv_same(x: jax.Array, w: jax.Array, bias: jax.Array, dilation: in
     return y + bias
 
 
-def wn_apply(params: Dict, x: jax.Array, n_channels: int) -> jax.Array:
-    """The coupling network: x (B, T, n_half) -> (B, T, 2*n_half)."""
+def wn_apply(
+    params: Dict, x: jax.Array, n_channels: int, dilated_conv=None
+) -> jax.Array:
+    """The coupling network: x (B, T, n_half) -> (B, T, 2*n_half).
+
+    ``dilated_conv(x, w, bias, dilation)`` overrides the dilated-conv
+    primitive — parallel/sequence.py substitutes a halo-exchange conv to run
+    this net over a time-sharded mesh axis.
+    """
+    if dilated_conv is None:
+        dilated_conv = _dilated_conv_same
     n_layers = len(params["in_layers"])
     audio = conv1x1(
         {"weight": weight_norm_weight(params["start"])[0], "bias": params["start"]["bias"]}, x
@@ -137,7 +146,7 @@ def wn_apply(params: Dict, x: jax.Array, n_channels: int) -> jax.Array:
     output = jnp.zeros_like(audio)
     for i in range(n_layers):
         w_in = weight_norm_weight(params["in_layers"][i])
-        in_act = _dilated_conv_same(audio, w_in, params["in_layers"][i]["bias"], 2 ** i)
+        in_act = dilated_conv(audio, w_in, params["in_layers"][i]["bias"], 2 ** i)
         off = i * 2 * n_channels
         acts = fused_add_tanh_sigmoid_multiply(
             in_act, spect[..., off : off + 2 * n_channels], n_channels

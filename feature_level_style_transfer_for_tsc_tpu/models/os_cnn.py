@@ -52,8 +52,20 @@ def os_layer_apply(
     x: jax.Array,
     training: bool,
     relu: bool,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Dict]:
-    y = masked_os_conv(x, params["conv"]["weight"], params["conv"]["bias"], mask)
+    """``compute_dtype=jnp.bfloat16`` runs the conv (the FLOP carrier) in
+    bf16 — activations/weights cast down, conv output cast back up — while
+    BatchNorm statistics stay f32.  Default f32 end to end."""
+    if compute_dtype is not None:
+        y = masked_os_conv(
+            x.astype(compute_dtype),
+            params["conv"]["weight"].astype(compute_dtype),
+            params["conv"]["bias"].astype(compute_dtype),
+            mask.astype(compute_dtype),
+        ).astype(jnp.float32)
+    else:
+        y = masked_os_conv(x, params["conv"]["weight"], params["conv"]["bias"], mask)
     y, new_bn = batch_norm(y, params["bn_scale"], params["bn_bias"], state["bn"], training)
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -83,12 +95,13 @@ def os_block_apply(
     x: jax.Array,
     training: bool,
     relu_at_last: bool = True,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Dict]:
     new_states = []
     n = len(masks)
     for i, (p, s, m) in enumerate(zip(params["layers"], state["layers"], masks)):
         relu = True if i < n - 1 else relu_at_last
-        x, ns = os_layer_apply(p, s, m, x, training, relu)
+        x, ns = os_layer_apply(p, s, m, x, training, relu, compute_dtype)
         new_states.append(ns)
     return x, {"layers": new_states}
 
@@ -112,13 +125,16 @@ def os_cnn_apply(
     x: jax.Array,
     training: bool,
     few_shot: bool = False,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Returns (logits, pooled_feature, new_state) — reference OS_CNN.forward.
 
     ``few_shot=True`` skips the Linear head and returns the pooled feature
     in both slots (reference OS_CNN.py:82,106-108).
     """
-    y, new_block = os_block_apply(params["block"], state["block"], masks, x, training, True)
+    y, new_block = os_block_apply(
+        params["block"], state["block"], masks, x, training, True, compute_dtype
+    )
     pooled = jnp.mean(y, axis=1)  # AdaptiveAvgPool1d(1) over time
     logits = pooled if few_shot else linear(params["hidden"], pooled)
     return logits, pooled, {"block": new_block}
@@ -153,10 +169,12 @@ def os_cnn_res_apply(
     masks: List[jax.Array],
     x: jax.Array,
     training: bool,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Dict]:
     """ReLU(OS_block(x, no final relu) + BN(Conv1x1(x))) — Res_OS_layer."""
     main, new_block = os_block_apply(
-        params["block"], state["block"], masks, x, training, relu_at_last=False
+        params["block"], state["block"], masks, x, training,
+        relu_at_last=False, compute_dtype=compute_dtype,
     )
     shortcut = x @ params["res"]["weight"] + params["res"]["bias"]
     shortcut, new_res_bn = batch_norm(

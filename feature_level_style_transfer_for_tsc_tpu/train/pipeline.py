@@ -115,6 +115,9 @@ class StyleTransferPipeline:
         self.t_ext_masks = [jnp.asarray(m) for m in os_block_masks(self.t_ext_specs)]
         self.cls_masks = [jnp.asarray(m) for m in os_block_masks(self.cls_specs)]
         self.s_ext_masks = [jnp.asarray(m) for m in os_block_masks(self.s_ext_specs)]
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
 
         # --- optimizers (reference :97-134) ---
         o = cfg.optim
@@ -200,22 +203,30 @@ class StyleTransferPipeline:
 
     def target_features(self, params, mstate, x, training):
         feat, new_s = os_cnn_res_apply(
-            params["t_ext"], mstate["t_ext"], self.t_ext_masks, x, training
+            params["t_ext"], mstate["t_ext"], self.t_ext_masks, x, training,
+            compute_dtype=self.compute_dtype,
         )
         return feat, new_s
 
     def source_features(self, params, mstate, x, training):
         """s_ext + DimensionUnification -> target-shaped features."""
         feat, new_s = os_cnn_res_apply(
-            params["s_ext"], mstate["s_ext"], self.s_ext_masks, x, training
+            params["s_ext"], mstate["s_ext"], self.s_ext_masks, x, training,
+            compute_dtype=self.compute_dtype,
         )
         return dimension_unification_apply(params["dim_uni"], feat), new_s
 
     def classify_target(self, params, mstate, feat, training):
-        return os_cnn_apply(params["t_cls"], mstate["t_cls"], self.cls_masks, feat, training)
+        return os_cnn_apply(
+            params["t_cls"], mstate["t_cls"], self.cls_masks, feat, training,
+            compute_dtype=self.compute_dtype,
+        )
 
     def classify_source(self, params, mstate, feat, training):
-        return os_cnn_apply(params["s_cls"], mstate["s_cls"], self.cls_masks, feat, training)
+        return os_cnn_apply(
+            params["s_cls"], mstate["s_cls"], self.cls_masks, feat, training,
+            compute_dtype=self.compute_dtype,
+        )
 
     # ----------------------------------------------------------------------
     # generic optimizer machinery
@@ -460,9 +471,12 @@ class StyleTransferPipeline:
     # phase 5: joint adversarial training (reference :513-797)
     # ----------------------------------------------------------------------
 
-    def _phase5_forward(self, params, mstate, consts, bt, lt, bs, ls, rng):
+    def _phase5_forward(
+        self, params, mstate, consts, bt, lt, bs, ls, rng, cpc_anchors=None
+    ):
         """The full hot-loop forward (reference :539-621).  Returns every
-        loss plus updated model state."""
+        loss plus updated model state.  ``cpc_anchors`` pins the two CPC
+        anchor draws (parity tests only)."""
         wn_ch = self.config.flow.wn_channels
         r1, r2, r3 = jax.random.split(rng, 3)
         new_m = dict(mstate)
@@ -470,7 +484,9 @@ class StyleTransferPipeline:
         t_feat, new_m["t_ext"] = self.target_features(params, mstate, bt, True)
         s_feat, new_m["s_ext"] = self.source_features(params, mstate, bs, True)
         # batched pair passes: one CPC scan, one flow traversal (exact)
-        t_sl, s_sl = cpc_apply_pair(params["cpc"], t_feat, s_feat, r1, r2)
+        t_sl, s_sl = cpc_apply_pair(
+            params["cpc"], t_feat, s_feat, r1, r2, anchors=cpc_anchors
+        )
         t_nf_out, s_nf_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
         t_nf_loss = waveglow_loss(t_nf_out)
         s_nf_loss = waveglow_loss(s_nf_out)
@@ -481,9 +497,11 @@ class StyleTransferPipeline:
         s2t_feat = waveglow_infer(params["nf"], s2t_noise, wn_ch)
 
         t_logits, t_pool, new_m["t_cls"] = self.classify_target(params, mstate, t_feat, True)
-        # eval-mode flip for the s2t pass: running BN stats, no stat update
-        # (reference :584-586)
-        s2t_logits, s2t_pool, _ = self.classify_target(params, mstate, s2t_feat, False)
+        # eval-mode flip for the s2t pass: running BN stats, no stat update.
+        # The reference's in-place BatchNorm means this eval pass sees stats
+        # *just updated* by the same batch's target pass (train_and_test.py
+        # :583-586), so read from new_m, not the pre-batch mstate.
+        s2t_logits, s2t_pool, _ = self.classify_target(params, new_m, s2t_feat, False)
         s_logits, s_pool, new_m["s_cls"] = self.classify_source(params, mstate, s_feat, True)
 
         t_c_loss = cross_entropy(t_logits, lt)
@@ -697,11 +715,27 @@ class StyleTransferPipeline:
         verbose: bool = True,
         eval_hook=None,
         checkpoint_hook=None,
+        phase_checkpoint_hook=None,
         artifact_dir: Optional[str] = None,
         log_every: int = 1,
         log_file: Optional[str] = None,
+        pretrain_eval_every: int = 1,
     ):
-        """Run the full curriculum (phase lengths overridable for testing)."""
+        """Run the full curriculum (phase lengths overridable for testing).
+
+        ``pretrain_eval_every`` controls the phases-1-4 accuracy cadence.
+        The reference evaluates EVERY pretrain epoch (phases 1-3; phase 4
+        only on its supervised every-75th epochs) via
+        ``eval_*_model_being_pretrained`` (utils.py:135-183, called at
+        train_and_test.py:177-179,217-219,286-293,354-361,448-455), so the
+        default 1 emits the same signal; 0 disables.
+
+        ``phase_checkpoint_hook(phase, state)`` fires at each phase
+        boundary — the analogue of the reference's post-phase-3
+        ``target/source_classifier_itself.tar`` saves
+        (train_and_test.py:364-372), generalized to every phase so
+        mid-curriculum members can feed ``cli.multi_source``.
+        """
         cfg = self.config
         ep = {
             "p1": cfg.target_pretrain_epochs,
@@ -751,24 +785,59 @@ class StyleTransferPipeline:
             nb = min(xt.shape[0], xs.shape[0])  # reference rounds_per_epoch
             return xt[:nb], yt[:nb], xs[:nb], ys[:nb]
 
+        def target_accs(state):
+            return {
+                "target_train_acc": self.evaluate_target(state, target_train.x, target_train.y),
+                "target_test_acc": self.evaluate_target(state, target_test.x, target_test.y),
+            }
+
+        def source_accs(state):
+            return {
+                "source_train_acc": self.evaluate_source(state, source_train.x, source_train.y),
+                "source_test_acc": self.evaluate_source(state, source_test.x, source_test.y),
+            }
+
+        def pretrain_eval(phase, e, which):
+            if not pretrain_eval_every or e % pretrain_eval_every:
+                return
+            accs = {}
+            if "t" in which:
+                accs.update(target_accs(state))
+            if "s" in which:
+                accs.update(source_accs(state))
+            log(phase + "_eval", e, accs)
+
+        def phase_done(phase):
+            if phase_checkpoint_hook:
+                phase_checkpoint_hook(phase, state)
+
         for e in range(ep["p1"]):
             skey, sk = jax.random.split(skey)
             state, m = self.phase1_epoch(state, *batches(target_train, sk))
             log("p1", e, m)
+            pretrain_eval("p1", e, "t")  # reference :177-179, every epoch
+        phase_done("p1")
         for e in range(ep["p2"]):
             skey, sk = jax.random.split(skey)
             state, m = self.phase2_epoch(state, *batches(source_train, sk))
             log("p2", e, m)
+            pretrain_eval("p2", e, "s")  # reference :217-219, every epoch
+        phase_done("p2")
         for e in range(ep["p3"]):
             skey, sk = jax.random.split(skey)
             supervised = e % cfg.selfsup_supervised_every == 0
             state, m = self.phase3_epoch(state, *paired_batches(sk), supervised)
             log("p3", e, m)
+            pretrain_eval("p3", e, "ts")  # reference :286-293,354-361
+        phase_done("p3")  # reference saves *_classifier_itself.tar here (:364-372)
         for e in range(ep["p4"]):
             skey, sk = jax.random.split(skey)
             supervised = e % cfg.nf_supervised_every == 0
             state, m = self.phase4_epoch(state, *paired_batches(sk), supervised)
             log("p4", e, m)
+            if supervised:  # reference evals only the supervised branch (:448-455)
+                pretrain_eval("p4", e, "ts")
+        phase_done("p4")
         for e in range(ep["p5"]):
             skey, sk = jax.random.split(skey)
             collect = artifact_dir is not None and e % cfg.eval_every == 0
@@ -796,4 +865,5 @@ class StyleTransferPipeline:
                     eval_hook(e, state, accs)
                 if checkpoint_hook:
                     checkpoint_hook(e, state)
+        phase_done("p5")
         return state, history

@@ -51,7 +51,19 @@ def test_full_curriculum_tiny(setup):
         verbose=False,
     )
     phases = {h["phase"] for h in history}
-    assert phases == {"p1", "p2", "p3", "p4", "p5", "p5_eval"}
+    assert phases == {
+        "p1", "p1_eval", "p2", "p2_eval", "p3", "p3_eval", "p4", "p4_eval",
+        "p5", "p5_eval",
+    }
+    # pretrain eval cadence parity: phases 1-3 every epoch, phase 4 only on
+    # its supervised (every-75th) epochs (reference train_and_test.py
+    # :177-179,217-219,286-293,448-455)
+    assert len([h for h in history if h["phase"] == "p3_eval"]) == 2
+    assert len([h for h in history if h["phase"] == "p4_eval"]) == 1
+    p1_eval = [h for h in history if h["phase"] == "p1_eval"][0]
+    assert set(p1_eval) == {"phase", "epoch", "target_train_acc", "target_test_acc"}
+    p2_eval = [h for h in history if h["phase"] == "p2_eval"][0]
+    assert set(p2_eval) == {"phase", "epoch", "source_train_acc", "source_test_acc"}
     # every logged loss is finite
     for h in history:
         for k, v in h.items():
@@ -70,6 +82,18 @@ def test_full_curriculum_tiny(setup):
     assert max(float(jnp.max(jnp.abs(l))) for l in ad_leaves) <= 5e-4 + 1e-8
     fd_leaves = jax.tree_util.tree_leaves(state["params"]["fd"])
     assert max(float(jnp.max(jnp.abs(l))) for l in fd_leaves) <= 1e-2 + 1e-8
+
+
+def test_phase_checkpoint_hook_fires_at_boundaries(setup):
+    pipe, t_train, t_test, s_train, s_test = setup
+    seen = []
+    pipe.run(
+        t_train, t_test, s_train, s_test,
+        epochs={"p1": 1, "p2": 1, "p3": 1, "p4": 1, "p5": 1},
+        verbose=False, pretrain_eval_every=0,
+        phase_checkpoint_hook=lambda phase, state: seen.append(phase),
+    )
+    assert seen == ["p1", "p2", "p3", "p4", "p5"]
 
 
 def test_noise_transfer_state_advances(setup):

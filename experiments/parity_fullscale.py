@@ -101,7 +101,13 @@ def run_reference(seed):
     cwd = os.getcwd()
     os.chdir(scratch)
     try:
-        torch.autograd.set_detect_anomaly = lambda *a, **k: None  # wall time only
+        import contextlib
+
+        # wall time only (reference wraps ALL of training in anomaly mode);
+        # must return a context manager — train_and_test.py:24 uses `with`
+        torch.autograd.set_detect_anomaly = (
+            lambda *a, **k: contextlib.nullcontext()
+        )
         import train_and_test as tt
 
         tt.save_target_classification_modules = lambda *a, **k: None
@@ -177,7 +183,10 @@ def run_ours(seed):
         labels = np.asarray([f"c{v}" for v in y])
         return TsClassificationData(label_dict=d, is_train=is_train, arrays=(x, labels))
 
-    td, sd = {}, {}
+    # pre-seed the insertion-order dicts so label ints match the raw ints the
+    # reference's DuckData consumes directly (same mapping on both sides)
+    td = {f"c{i}": i for i in range(N_CLS_T)}
+    sd = {f"c{i}": i for i in range(N_CLS_S)}
     t_train = ds("t_train", td, True)
     t_test = ds("t_test", td, False)
     s_train = ds("s_train", sd, True)

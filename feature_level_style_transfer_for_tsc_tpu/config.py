@@ -83,6 +83,12 @@ class PipelineConfig:
     #: (pinned at HIGHEST precision) stay f32.  Default f32 end to end —
     #: measured accept/decline note in docs/DESIGN.md.
     compute_dtype: str = "float32"
+    #: opt-in flow stabilizer: >0 soft-clamps the coupling's log-scale to
+    #: ``c*tanh(log_s/c)`` in BOTH directions (forward density and infer),
+    #: bounding the early-phase-5 NLL transient seen with truncated NF
+    #: pretrain (ROADMAP item 4).  0.0 = off = exact reference semantics
+    #: (the reference has the same transient exposure — not a parity bug).
+    log_s_clamp: float = 0.0
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -179,8 +179,15 @@ def waveglow_init(
     }
 
 
+def _soft_clamp(log_s: jax.Array, cap: float) -> jax.Array:
+    """Glow-style soft clamp ``cap * tanh(log_s / cap)`` — smooth, odd, and
+    identity-like near 0; bounds |log_s| <= cap so exp(log_s) can't explode
+    during the early-phase-5 transient.  cap=0 disables (reference exact)."""
+    return cap * jnp.tanh(log_s / cap) if cap else log_s
+
+
 def waveglow_forward(
-    params: Dict, x: jax.Array, n_wn_ch: int
+    params: Dict, x: jax.Array, n_wn_ch: int, log_s_clamp: float = 0.0
 ) -> Tuple[jax.Array, List[jax.Array], List[jax.Array]]:
     """Density direction: features -> noise (reference :148-181).
 
@@ -198,14 +205,17 @@ def waveglow_forward(
         output = wn_apply(params["wn"][k], audio_0, n_wn_ch)
         # NOTE reference order: b first, log_s second (:172-173).
         b = output[..., :n_half]
-        log_s = output[..., n_half:]
+        log_s = _soft_clamp(output[..., n_half:], log_s_clamp)
         audio_1, _ = affine_coupling_forward(audio_1, log_s, b)
         log_s_list.append(log_s)
         audio = jnp.concatenate([audio_0, audio_1], axis=-1)
     return audio, log_s_list, log_det_w_list
 
 
-def waveglow_forward_pair(params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch: int):
+def waveglow_forward_pair(
+    params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch: int,
+    log_s_clamp: float = 0.0,
+):
     """Run the density direction on two batches in ONE pass.
 
     Flow ops are strictly per-sample, so concatenating the target and source
@@ -217,7 +227,7 @@ def waveglow_forward_pair(params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch:
     ba, bb = x_a.shape[0], x_b.shape[0]
     t = x_a.shape[1]
     z, log_s_list, log_det_list = waveglow_forward(
-        params, jnp.concatenate([x_a, x_b], axis=0), n_wn_ch
+        params, jnp.concatenate([x_a, x_b], axis=0), n_wn_ch, log_s_clamp
     )
     z_a, z_b = z[:ba], z[ba:]
     ls_a = [ls[:ba] for ls in log_s_list]
@@ -229,7 +239,8 @@ def waveglow_forward_pair(params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch:
 
 
 def waveglow_infer(
-    params: Dict, noise: jax.Array, n_wn_ch: int, sigma: float = 1.0
+    params: Dict, noise: jax.Array, n_wn_ch: int, sigma: float = 1.0,
+    log_s_clamp: float = 0.0,
 ) -> jax.Array:
     """Synthesis direction: noise -> features (reference :183-203)."""
     n_flows = len(params["convinv"])
@@ -239,7 +250,7 @@ def waveglow_infer(
         audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
         output = wn_apply(params["wn"][k], audio_0, n_wn_ch)
         b = output[..., :n_half]
-        s = output[..., n_half:]
+        s = _soft_clamp(output[..., n_half:], log_s_clamp)
         audio_1 = affine_coupling_inverse(audio_1, s, b)
         audio = jnp.concatenate([audio_0, audio_1], axis=-1)
         audio = inv1x1_inverse(params["convinv"][k], audio)

@@ -53,10 +53,25 @@ def os_layer_apply(
     training: bool,
     relu: bool,
     compute_dtype=None,
+    fused_infer: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """``compute_dtype=jnp.bfloat16`` runs the conv (the FLOP carrier) in
     bf16 — activations/weights cast down, conv output cast back up — while
-    BatchNorm statistics stay f32.  Default f32 end to end."""
+    BatchNorm statistics stay f32.  Default f32 end to end.
+
+    ``fused_infer=True`` (eval mode only) folds the running-stat BatchNorm
+    into a scale/shift epilogue executed inside the conv kernel — a NO-GRAD
+    fast path for evaluation/voting (the in-loss eval-mode s2t pass must NOT
+    use it: it is on the gradient path)."""
+    if fused_infer and not training and compute_dtype is None:
+        st = state["bn"]
+        inv_scale = params["bn_scale"] * jax.lax.rsqrt(st.var + 1e-5)
+        y = masked_os_conv(
+            x, params["conv"]["weight"], params["conv"]["bias"], mask,
+            scale=inv_scale, shift=params["bn_bias"] - st.mean * inv_scale,
+            relu=relu,
+        )
+        return y, {"bn": st}
     if compute_dtype is not None:
         y = masked_os_conv(
             x.astype(compute_dtype),
@@ -96,12 +111,13 @@ def os_block_apply(
     training: bool,
     relu_at_last: bool = True,
     compute_dtype=None,
+    fused_infer: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     new_states = []
     n = len(masks)
     for i, (p, s, m) in enumerate(zip(params["layers"], state["layers"], masks)):
         relu = True if i < n - 1 else relu_at_last
-        x, ns = os_layer_apply(p, s, m, x, training, relu, compute_dtype)
+        x, ns = os_layer_apply(p, s, m, x, training, relu, compute_dtype, fused_infer)
         new_states.append(ns)
     return x, {"layers": new_states}
 
@@ -126,6 +142,7 @@ def os_cnn_apply(
     training: bool,
     few_shot: bool = False,
     compute_dtype=None,
+    fused_infer: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Returns (logits, pooled_feature, new_state) — reference OS_CNN.forward.
 
@@ -133,7 +150,8 @@ def os_cnn_apply(
     in both slots (reference OS_CNN.py:82,106-108).
     """
     y, new_block = os_block_apply(
-        params["block"], state["block"], masks, x, training, True, compute_dtype
+        params["block"], state["block"], masks, x, training, True, compute_dtype,
+        fused_infer,
     )
     pooled = jnp.mean(y, axis=1)  # AdaptiveAvgPool1d(1) over time
     logits = pooled if few_shot else linear(params["hidden"], pooled)
@@ -170,11 +188,12 @@ def os_cnn_res_apply(
     x: jax.Array,
     training: bool,
     compute_dtype=None,
+    fused_infer: bool = False,
 ) -> Tuple[jax.Array, Dict]:
     """ReLU(OS_block(x, no final relu) + BN(Conv1x1(x))) — Res_OS_layer."""
     main, new_block = os_block_apply(
         params["block"], state["block"], masks, x, training,
-        relu_at_last=False, compute_dtype=compute_dtype,
+        relu_at_last=False, compute_dtype=compute_dtype, fused_infer=fused_infer,
     )
     shortcut = x @ params["res"]["weight"] + params["res"]["bias"]
     shortcut, new_res_bn = batch_norm(

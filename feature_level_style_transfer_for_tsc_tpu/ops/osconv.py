@@ -116,6 +116,48 @@ def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int):
     out_ref[0] = acc[:t].astype(out_ref.dtype)
 
 
+def _os_conv_fused_kernel(
+    x_ref, w_ref, scale_ref, shift_ref, out_ref, *, k: int, t: int, relu: bool
+):
+    """Inference variant of `_os_conv_kernel` with the folded-BN affine (+
+    optional ReLU) applied in VMEM before the single HBM write — the conv
+    output never round-trips to HBM un-normalized (ROADMAP kernel item)."""
+    c_out = out_ref.shape[-1]
+    x = x_ref[0]
+    t_pad = x.shape[0]
+    acc = jnp.zeros((t_pad, c_out), jnp.float32)
+    for j in range(k):
+        xj = pltpu.roll(x, (t_pad - j) % t_pad, 0)
+        acc += jnp.dot(xj, w_ref[j], preferred_element_type=jnp.float32)
+    y = acc[:t] * scale_ref[0] + shift_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu",))
+def _conv_pallas_fused(
+    x_pad: jax.Array, w: jax.Array, scale: jax.Array, shift: jax.Array, relu: bool
+) -> jax.Array:
+    b, t_pad, c_in = x_pad.shape
+    k, _, c_out = w.shape
+    t = t_pad - k + 1
+    kernel = functools.partial(_os_conv_fused_kernel, k=k, t=t, relu=relu)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, c_out), x_pad.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, c_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=pallas_interpret(),
+    )(x_pad, w, scale[None], shift[None])
+
+
 @jax.jit
 def _conv_pallas(x_pad: jax.Array, w: jax.Array) -> jax.Array:
     b, t_pad, c_in = x_pad.shape
@@ -181,9 +223,15 @@ def masked_os_conv(
     pad_l, pad_r = (k - 1) // 2, k // 2
     w = weight * mask
     x_pad = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
-    y = _conv_core(x_pad, w) + bias
     if scale is not None:
-        y = y * scale + (shift if shift is not None else 0.0)
+        # fold bias into the shift: (conv + bias)*scale + shift
+        eff_shift = bias * scale + (shift if shift is not None else 0.0)
+        if use_pallas() and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], k):
+            # NO-GRAD inference path (no custom VJP) — eval/voting only.
+            return _conv_pallas_fused(x_pad, w, scale, eff_shift, relu)
+        y = _conv_xla(x_pad, w) * scale + eff_shift
+        return jnp.maximum(y, 0.0) if relu else y
+    y = _conv_core(x_pad, w) + bias
     if relu:
         y = jnp.maximum(y, 0.0)
     return y

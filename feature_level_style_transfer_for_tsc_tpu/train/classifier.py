@@ -99,10 +99,14 @@ class OSCNNClassifier:
 
     # ----------------------------------------------------------- forward --
 
-    def forward(self, params, mstate, x, training: bool):
-        feat, ext_s = os_cnn_res_apply(params["ext"], mstate["ext"], self.ext_masks, x, training)
+    def forward(self, params, mstate, x, training: bool, fused_infer: bool = False):
+        feat, ext_s = os_cnn_res_apply(
+            params["ext"], mstate["ext"], self.ext_masks, x, training,
+            fused_infer=fused_infer,
+        )
         logits, pooled, cls_s = os_cnn_apply(
-            params["cls"], mstate["cls"], self.cls_masks, feat, training
+            params["cls"], mstate["cls"], self.cls_masks, feat, training,
+            fused_infer=fused_infer,
         )
         return logits, pooled, feat, {"ext": ext_s, "cls": cls_s}
 
@@ -168,7 +172,8 @@ class OSCNNClassifier:
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict_logits(self, params, mstate, x):
-        logits, _, _, _ = self.forward(params, mstate, x, False)
+        # no-grad context: fused conv+BN+ReLU inference kernel
+        logits, _, _, _ = self.forward(params, mstate, x, False, fused_infer=True)
         return logits
 
     def evaluate(self, state: Dict, x: np.ndarray, y: np.ndarray, batch_size: int = 0) -> float:

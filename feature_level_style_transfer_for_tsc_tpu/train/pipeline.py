@@ -118,6 +118,8 @@ class StyleTransferPipeline:
         self.compute_dtype = (
             jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         )
+        # opt-in flow stabilizer (config.log_s_clamp; 0.0 = reference exact)
+        self.log_s_clamp = float(cfg.log_s_clamp)
 
         # --- optimizers (reference :97-134) ---
         o = cfg.optim
@@ -201,31 +203,31 @@ class StyleTransferPipeline:
     # forward building blocks
     # ----------------------------------------------------------------------
 
-    def target_features(self, params, mstate, x, training):
+    def target_features(self, params, mstate, x, training, fused_infer=False):
         feat, new_s = os_cnn_res_apply(
             params["t_ext"], mstate["t_ext"], self.t_ext_masks, x, training,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, fused_infer=fused_infer,
         )
         return feat, new_s
 
-    def source_features(self, params, mstate, x, training):
+    def source_features(self, params, mstate, x, training, fused_infer=False):
         """s_ext + DimensionUnification -> target-shaped features."""
         feat, new_s = os_cnn_res_apply(
             params["s_ext"], mstate["s_ext"], self.s_ext_masks, x, training,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, fused_infer=fused_infer,
         )
         return dimension_unification_apply(params["dim_uni"], feat), new_s
 
-    def classify_target(self, params, mstate, feat, training):
+    def classify_target(self, params, mstate, feat, training, fused_infer=False):
         return os_cnn_apply(
             params["t_cls"], mstate["t_cls"], self.cls_masks, feat, training,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, fused_infer=fused_infer,
         )
 
-    def classify_source(self, params, mstate, feat, training):
+    def classify_source(self, params, mstate, feat, training, fused_infer=False):
         return os_cnn_apply(
             params["s_cls"], mstate["s_cls"], self.cls_masks, feat, training,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, fused_infer=fused_infer,
         )
 
     # ----------------------------------------------------------------------
@@ -406,7 +408,7 @@ class StyleTransferPipeline:
                 t_sl, s_sl = cpc_apply_pair(params["cpc"], t_feat, s_feat, r1, r2)
                 s_logits, _, new_m["s_cls"] = self.classify_source(params, mstate, s_feat, True)
                 s_ce = cross_entropy(s_logits, ls)
-                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
+                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp)
                 t_nf = waveglow_loss(t_out)
                 s_nf = waveglow_loss(s_out)
                 total = t_nf + s_nf + 5 * t_ce + 5 * s_ce + 3 * t_sl + 3 * s_sl
@@ -416,7 +418,7 @@ class StyleTransferPipeline:
                 s_feat, new_m["s_ext"] = self.source_features(params, mstate, bs, True)
                 t_feat = jax.lax.stop_gradient(t_feat)
                 s_feat = jax.lax.stop_gradient(s_feat)
-                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
+                t_out, s_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp)
                 t_nf = waveglow_loss(t_out)
                 s_nf = waveglow_loss(s_out)
                 total = t_nf + s_nf
@@ -487,14 +489,14 @@ class StyleTransferPipeline:
         t_sl, s_sl = cpc_apply_pair(
             params["cpc"], t_feat, s_feat, r1, r2, anchors=cpc_anchors
         )
-        t_nf_out, s_nf_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch)
+        t_nf_out, s_nf_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp)
         t_nf_loss = waveglow_loss(t_nf_out)
         s_nf_loss = waveglow_loss(s_nf_out)
         t_noise, s_noise = t_nf_out[0], s_nf_out[0]
         s2t_noise, new_m["noise"] = noise_transfer_apply(
             params["noise"], mstate["noise"], t_noise, s_noise
         )
-        s2t_feat = waveglow_infer(params["nf"], s2t_noise, wn_ch)
+        s2t_feat = waveglow_infer(params["nf"], s2t_noise, wn_ch, log_s_clamp=self.log_s_clamp)
 
         t_logits, t_pool, new_m["t_cls"] = self.classify_target(params, mstate, t_feat, True)
         # eval-mode flip for the s2t pass: running BN stats, no stat update.
@@ -669,17 +671,18 @@ class StyleTransferPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _predict_target(self, params, mstate, x):
-        feat, _ = self.target_features(params, mstate, x, False)
-        logits, _, _ = self.classify_target(params, mstate, feat, False)
+        # no-grad context: the fused conv+BN+ReLU inference kernel is safe
+        feat, _ = self.target_features(params, mstate, x, False, fused_infer=True)
+        logits, _, _ = self.classify_target(params, mstate, feat, False, fused_infer=True)
         return logits
 
     @functools.partial(jax.jit, static_argnums=0)
     def _predict_source(self, params, mstate, x):
-        feat, _ = self.source_features(params, mstate, x, False)
-        logits, _, _ = self.classify_source(params, mstate, feat, False)
+        feat, _ = self.source_features(params, mstate, x, False, fused_infer=True)
+        logits, _, _ = self.classify_source(params, mstate, feat, False, fused_infer=True)
         return logits
 
-    def _batched_accuracy(self, predict, state, x, y):
+    def _batched_predictions(self, predict, state, x) -> np.ndarray:
         bs = self.config.batch_size
         n = x.shape[0]
         preds = []
@@ -691,7 +694,15 @@ class StyleTransferPipeline:
             logits = predict(state["params"], state["mstate"], jnp.asarray(xe))
             take = bs - pad if pad else bs
             preds.append(np.asarray(jnp.argmax(logits, -1))[:take])
-        return float(np.mean(np.concatenate(preds)[:n] == y))
+        return np.concatenate(preds)[:n]
+
+    def _batched_accuracy(self, predict, state, x, y):
+        return float(np.mean(self._batched_predictions(predict, state, x) == y))
+
+    def predict_target(self, state, x) -> np.ndarray:
+        """Batched argmax class predictions on the target head (serving path:
+        fixed-shape jitted batches, fused conv+BN+ReLU inference kernel)."""
+        return self._batched_predictions(self._predict_target, state, x)
 
     def evaluate_target(self, state, x, y):
         return self._batched_accuracy(self._predict_target, state, x, y)

@@ -34,6 +34,22 @@ def test_cli_main_tiny(tmp_path):
     # feature dumps for t-SNE parity
     assert os.path.exists(os.path.join(out, "feature_of_target_s2t"))
 
+    # inference-only serving entry over the saved full state
+    from feature_level_style_transfer_for_tsc_tpu.cli.predict import main as predict_main
+
+    acc = predict_main([
+        "--target-root", root, "--target", "TinyT",
+        "--source-root", root, "--source", "TinyS",
+        "--checkpoint", os.path.join(out, "final_state.npz"),
+        "--budget-multiplier", "0.02",
+        "--out", str(tmp_path / "pred"),
+    ])
+    preds = np.load(str(tmp_path / "pred_predict.npy"))
+    assert preds.shape == (10,)
+    # predictions reproduce the accuracy the training run logged last
+    last_eval = [h for h in history if h["phase"] == "p5_eval"][-1]
+    assert abs(acc - last_eval["target_test_acc"]) < 1e-6
+
 
 def test_cli_visualize(tmp_path):
     from feature_level_style_transfer_for_tsc_tpu.cli.visualize import main

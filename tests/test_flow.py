@@ -89,3 +89,32 @@ def test_waveglow_loss_decreases_under_training():
     for _ in range(30):
         params, opt_state, l = step(params, opt_state)
     assert float(l) < l0
+
+
+def test_log_s_soft_clamp_stabilizer():
+    """Opt-in stabilizer (config.log_s_clamp): bounds |log_s|, stays an
+    exact bijection (forward/infer with the same cap), and cap=0 is the
+    reference-exact path."""
+    params = _params(jax.random.PRNGKey(4), c=8, n_flows=2)
+    # blow up the zero-init end convs so raw log_s is huge
+    params = jax.tree_util.tree_map(lambda p: p, params)
+    for wn in params["wn"]:
+        wn["end"]["weight"] = wn["end"]["weight"] + 3.0
+        wn["end"]["bias"] = wn["end"]["bias"] + 5.0
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 12, 8))
+
+    cap = 1.5
+    z_c, log_s_c, _ = F.waveglow_forward(params, x, N_WN, log_s_clamp=cap)
+    for ls in log_s_c:
+        assert float(jnp.max(jnp.abs(ls))) <= cap + 1e-6
+    x_rec = F.waveglow_infer(params, z_c, N_WN, log_s_clamp=cap)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-3)
+
+    # raw log_s really was out of range (the clamp did something)
+    _, log_s_raw, _ = F.waveglow_forward(params, x, N_WN)
+    assert float(max(jnp.max(jnp.abs(ls)) for ls in log_s_raw)) > cap
+
+    # cap=0 (default) is bit-identical to the pre-knob path
+    z0, _, _ = F.waveglow_forward(params, x, N_WN, log_s_clamp=0.0)
+    z_ref, _, _ = F.waveglow_forward(params, x, N_WN)
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z_ref))

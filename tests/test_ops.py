@@ -127,3 +127,36 @@ def test_grl_coeff_schedule():
     it, alpha, max_iter = 5, 100.0, 20.0
     want = 2.0 / (1.0 + np.exp(-alpha * it / max_iter)) - 1.0
     assert float(grl_coeff(it, alpha=alpha, max_iter=max_iter)) == pytest.approx(want, rel=1e-5)
+
+
+def test_fused_infer_layer_matches_unfused(monkeypatch):
+    """Eval-mode fused conv+foldedBN+ReLU epilogue == conv -> batch_norm ->
+    relu, on both the XLA fallback and the (interpreted) Pallas kernel."""
+    from feature_level_style_transfer_for_tsc_tpu.models.os_cnn import (
+        os_layer_apply,
+        os_layer_init,
+    )
+
+    spec = [(3, 4, 1), (3, 4, 3), (3, 4, 5)]
+    params, state = os_layer_init(jax.random.PRNGKey(0), spec)
+    # non-trivial running stats + affine
+    state = {
+        "bn": init_bn_stats(12)._replace(
+            mean=jnp.linspace(-0.5, 0.5, 12), var=jnp.linspace(0.5, 2.0, 12)
+        )
+    }
+    params = dict(params, bn_scale=jnp.linspace(0.5, 1.5, 12),
+                  bn_bias=jnp.linspace(-0.2, 0.2, 12))
+    mask = jnp.asarray(build_os_mask(spec))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))
+
+    want, st0 = os_layer_apply(params, state, mask, x, False, True)
+    for pallas in ("0", "1"):
+        monkeypatch.setenv("FLSTTSC_USE_PALLAS", pallas)
+        monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+        got, st1 = os_layer_apply(
+            params, state, mask, x, False, True, fused_infer=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+        # eval mode: stats unchanged
+        np.testing.assert_array_equal(np.asarray(st1["bn"].mean), np.asarray(st0["bn"].mean))

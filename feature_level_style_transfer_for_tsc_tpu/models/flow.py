@@ -45,7 +45,17 @@ def inv1x1_init(key, channels: int) -> Dict:
 
 def inv1x1_forward(params: Dict, z: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Returns (Wz, log_det = B*T*logdet(W)).  torch conv1d with weight
-    (C_out, C_in, 1) maps to ``z @ W.T`` in channel-last layout."""
+    (C_out, C_in, 1) maps to ``z @ W.T`` in channel-last layout.
+
+    DOCUMENTED FIX vs the reference: we use ``slogdet`` -> log|det W|, the
+    correct change-of-variables term.  The reference's ``torch.logdet``
+    (Simplified_NF_WaveGlow.py:40) returns NaN once training drives
+    det(W) < 0 (init is det +1 but nothing constrains the sign), after which
+    its flow NLL is NaN for the rest of the run — observed in the reference's
+    own full-length run on synthetic data (experiments/parity_fullscale.py:
+    t_nf_loss goes NaN at NF-pretrain epoch 3 and never recovers).  The
+    gradient of log|det| equals torch's logdet gradient (W^-T) wherever the
+    latter is defined, so training dynamics match while det stays positive."""
     w = params["weight"]
     b, t, _ = z.shape
     _, logdet = jnp.linalg.slogdet(w)

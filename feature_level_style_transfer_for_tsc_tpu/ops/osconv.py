@@ -21,6 +21,7 @@ Weight layout: ``(K, C_in, C_out)`` ("WIO").
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -116,6 +117,13 @@ def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int):
     out_ref[0] = acc[:t].astype(out_ref.dtype)
 
 
+# Measured on the v5e (experiments/fused_infer_bench.py): executing the
+# epilogue INSIDE the kernel is 0.90-0.96x vs letting XLA fuse it onto the
+# kernel's output (extra VMEM operands + a second store path beat nothing).
+# Declined by default; flip for remeasurement on new hardware.
+_FUSE_EPILOGUE_IN_KERNEL = os.environ.get("FLSTTSC_FUSE_EPILOGUE", "0") == "1"
+
+
 def _os_conv_fused_kernel(
     x_ref, w_ref, scale_ref, shift_ref, out_ref, *, k: int, t: int, relu: bool
 ):
@@ -185,7 +193,14 @@ def _pallas_profitable(t_pad: int, c_in: int, k: int) -> bool:
 
 @jax.custom_vjp
 def _conv_core(x_pad: jax.Array, w: jax.Array) -> jax.Array:
-    if use_pallas() and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], w.shape[0]):
+    # bf16 goes to the XLA conv: Mosaic's dynamic_rotate (pltpu.roll) only
+    # supports 32-bit element types, and XLA's conv drives the MXU at
+    # native bf16 anyway (compute_dtype knob, config.py).
+    if (
+        x_pad.dtype == jnp.float32
+        and use_pallas()
+        and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], w.shape[0])
+    ):
         return _conv_pallas(x_pad, w)
     return _conv_xla(x_pad, w)
 
@@ -226,10 +241,12 @@ def masked_os_conv(
     if scale is not None:
         # fold bias into the shift: (conv + bias)*scale + shift
         eff_shift = bias * scale + (shift if shift is not None else 0.0)
-        if use_pallas() and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], k):
+        if _FUSE_EPILOGUE_IN_KERNEL and use_pallas() and _pallas_profitable(
+            x_pad.shape[1], x_pad.shape[2], k
+        ):
             # NO-GRAD inference path (no custom VJP) — eval/voting only.
             return _conv_pallas_fused(x_pad, w, scale, eff_shift, relu)
-        y = _conv_xla(x_pad, w) * scale + eff_shift
+        y = _conv_core(x_pad, w) * scale + eff_shift
         return jnp.maximum(y, 0.0) if relu else y
     y = _conv_core(x_pad, w) + bias
     if relu:

@@ -108,6 +108,18 @@ def run_reference(seed):
         torch.autograd.set_detect_anomaly = (
             lambda *a, **k: contextlib.nullcontext()
         )
+        # the reference's CPU print branch indexes scalar losses with [0]
+        # (train_and_test.py:634-639 — its own :632 comment admits the GPU
+        # branch can't; the CPU path was never run).  Make 0-dim .numpy()
+        # results 1-element arrays so those prints work; >=1-dim results
+        # (GradNorm ratios, feature dumps) are untouched.
+        _orig_numpy = torch.Tensor.numpy
+
+        def _numpy_atleast_1d(self, *a, **k):
+            out = _orig_numpy(self, *a, **k)
+            return np.atleast_1d(out) if out.ndim == 0 else out
+
+        torch.Tensor.numpy = _numpy_atleast_1d
         import train_and_test as tt
 
         tt.save_target_classification_modules = lambda *a, **k: None

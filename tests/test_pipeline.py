@@ -119,3 +119,19 @@ def test_critic_counters_advance(setup):
     # ad_net called twice per batch in CDAN, fd three times per batch
     assert int(state["mstate"]["ad"].iter_num) == 2 * 2 - 1
     assert int(state["mstate"]["fd"].iter_num) == 3 * 2 - 1
+
+
+def test_fused_infer_predict_matches_unfused(setup):
+    """The serving path (_predict_target, fused conv+foldedBN+ReLU) equals an
+    inline unfused eval forward, and predict_target returns its argmax."""
+    pipe, t_train, *_ = setup
+    state = pipe.init_state(jax.random.PRNGKey(7))
+    x = jnp.asarray(t_train.x[:6])
+
+    fused = pipe._predict_target(state["params"], state["mstate"], x)
+    feat, _ = pipe.target_features(state["params"], state["mstate"], x, False)
+    unfused, _, _ = pipe.classify_target(state["params"], state["mstate"], feat, False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-5)
+
+    preds = pipe.predict_target(state, t_train.x[:6])
+    np.testing.assert_array_equal(preds, np.argmax(np.asarray(fused), -1))

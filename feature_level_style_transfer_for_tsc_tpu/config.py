@@ -89,6 +89,12 @@ class PipelineConfig:
     #: pretrain (ROADMAP item 4).  0.0 = off = exact reference semantics
     #: (the reference has the same transient exposure — not a parity bug).
     log_s_clamp: float = 0.0
+    #: step the 10 RMSprop module optimizers as ONE fused flat update with
+    #: per-element LRs (same elementwise math, equality-tested).  MEASURED
+    #: SLOWER on the v5e (0.94x: the whole-tree ravel/unravel costs more
+    #: than 10 small optax chains save — see docs/DESIGN.md), so default
+    #: off; kept for remeasurement at larger parameter counts.
+    fused_optimizers: bool = False
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -100,3 +101,64 @@ def clip_params(params, bound: float):
     """WGAN critic clamp: every parameter to [-bound, +bound]
     (reference train_and_test.py:763-766)."""
     return jax.tree_util.tree_map(lambda p: jnp.clip(p, -bound, bound), params)
+
+
+# ------------------------------------------------------ fused RMSprop -----
+#
+# The style pipeline steps 10 independent torch-RMSprop optimizers per batch
+# (reference train_and_test.py:97-107,750-753).  Stepping them as 10 separate
+# (even flattened) optax chains costs tens of small kernels; this fuses them
+# into ONE elementwise update over a single flat vector with
+#   * a per-module learning-rate array gathered to per-element LRs via
+#     static segment ids, and
+#   * a static 0/1 step mask so phases that step only a subset leave the
+#     other modules' second moments untouched (exactly like torch not
+#     calling .step() on them).
+# The per-element math is identical to `make_rmsprop` (alpha .99, eps 1e-8
+# OUTSIDE the sqrt), so trajectories match the per-module path.
+
+class FusedRMSState(NamedTuple):
+    v: jax.Array  # (N,) flat square_avg across all fused modules
+    lr: jax.Array  # (N,) PER-ELEMENT learning rates (constant per module
+    # segment; a gather from a (10,)-scalar table measured slower on TPU)
+
+
+def module_sizes(params_subset):
+    """Flat element count per module in sorted (pytree) order."""
+    return [
+        (n, sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(params_subset[n])))
+        for n in sorted(params_subset)
+    ]
+
+
+def fused_rmsprop_init(params_subset, lrs) -> FusedRMSState:
+    import jax.flatten_util
+
+    flat, _ = jax.flatten_util.ravel_pytree(params_subset)
+    lr_elem = np.concatenate([
+        np.full(size, lr, np.float32)
+        for (_, size), lr in zip(module_sizes(params_subset), lrs)
+    ])
+    return FusedRMSState(v=jnp.zeros_like(flat), lr=jnp.asarray(lr_elem))
+
+
+def fused_rmsprop_update(
+    params_subset,
+    grads_subset,
+    state: FusedRMSState,
+    step_mask,  # (N,) float 0/1, static constant
+    *,
+    decay: float = 0.99,
+    eps: float = 1e-8,
+):
+    """Returns (new_params_subset, new_state)."""
+    import jax.flatten_util
+
+    g_flat, _ = jax.flatten_util.ravel_pytree(grads_subset)
+    p_flat, unravel = jax.flatten_util.ravel_pytree(params_subset)
+    v = jnp.where(
+        step_mask > 0, decay * state.v + (1 - decay) * g_flat * g_flat, state.v
+    )
+    upd = jnp.where(step_mask > 0, -state.lr * g_flat / (jnp.sqrt(v) + eps), 0.0)
+    return unravel(p_flat + upd), FusedRMSState(v=v, lr=state.lr)

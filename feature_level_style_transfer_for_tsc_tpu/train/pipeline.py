@@ -66,6 +66,8 @@ from ..models import (
 from ..models.structure import default_parameter_budgets
 from .optim import (
     clip_params,
+    fused_rmsprop_init,
+    fused_rmsprop_update,
     make_adam,
     make_rmsprop,
     plateau_init,
@@ -140,6 +142,22 @@ class StyleTransferPipeline:
         self.tx_weights_t = optax.adam(g.lr_weights_t)
         self.tx_weights_s = optax.adam(g.lr_weights_s)
 
+        # fused RMSprop: the 10 torch-RMSprop modules as one flat update
+        # (SORTED order must match jax's dict-pytree flattening order)
+        self.rms_modules = tuple(sorted(
+            ("t_ext", "t_cls", "s_ext", "dim_uni", "s_cls", "prob_trans",
+             "nf", "noise", "ad", "fd")
+        ))
+        self.rms_index = {n: i for i, n in enumerate(self.rms_modules)}
+        self.rms_base_lrs = [
+            {"t_ext": o.lr_target_ext, "t_cls": o.lr_target_cls,
+             "s_ext": o.lr_source_ext, "dim_uni": o.lr_dim_uni,
+             "s_cls": o.lr_source_cls, "prob_trans": o.lr_prob_trans,
+             "nf": o.lr_nf, "noise": o.lr_noise_trans,
+             "ad": o.lr_ad_net, "fd": o.lr_feat_disc}[n]
+            for n in self.rms_modules
+        ]
+
     # ----------------------------------------------------------------------
     # state
     # ----------------------------------------------------------------------
@@ -177,7 +195,15 @@ class StyleTransferPipeline:
             "t_ext": t_ext_s, "t_cls": t_cls_s, "s_ext": s_ext_s, "s_cls": s_cls_s,
             "noise": noise_s, "ad": ad_s, "fd": fd_s,
         }
-        opt = {name: self.tx[name].init(params[name]) for name in self.tx}
+        if cfg.fused_optimizers:
+            opt = {
+                "fused": fused_rmsprop_init(
+                    {n: params[n] for n in self.rms_modules}, self.rms_base_lrs
+                ),
+                "cpc": self.tx["cpc"].init(params["cpc"]),
+            }
+        else:
+            opt = {name: self.tx[name].init(params[name]) for name in self.tx}
         o = cfg.optim
         g = cfg.gradnorm
         return {
@@ -234,13 +260,53 @@ class StyleTransferPipeline:
     # generic optimizer machinery
     # ----------------------------------------------------------------------
 
+    def _rms_mask_and_offsets(self, params, names):
+        """Static flat step-mask + per-module (start, end) offsets; flat
+        order matches jax's sorted-dict pytree flattening."""
+        mask, offsets, pos = [], {}, 0
+        for n in self.rms_modules:
+            size = sum(
+                int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(params[n])
+            )
+            offsets[n] = (pos, pos + size)
+            pos += size
+            mask.append(np.full(size, 1.0 if n in names else 0.0, np.float32))
+        return np.concatenate(mask), offsets
+
     def _apply_updates(self, params, opt, grads, names):
         new_params = dict(params)
         new_opt = dict(opt)
-        for name in names:
+        rms_names = tuple(n for n in names if n in self.rms_index)
+        if self.config.fused_optimizers:
+            if rms_names:
+                mask, _ = self._rms_mask_and_offsets(params, rms_names)
+                sub, new_opt["fused"] = fused_rmsprop_update(
+                    {n: params[n] for n in self.rms_modules},
+                    {n: grads[n] for n in self.rms_modules},
+                    opt["fused"], mask,
+                )
+                new_params.update(sub)
+            rest = tuple(n for n in names if n not in self.rms_index)
+        else:
+            rest = names
+        for name in rest:
             upd, new_opt[name] = self.tx[name].update(grads[name], opt[name], params[name])
             new_params[name] = optax.apply_updates(params[name], upd)
         return new_params, new_opt
+
+    def _set_module_lr(self, state, name, lr):
+        """Write a module's LR into whichever optimizer layout is active."""
+        if self.config.fused_optimizers and name in self.rms_index:
+            _, offsets = self._rms_mask_and_offsets(state["params"], ())
+            lo, hi = offsets[name]
+            f = state["opt"]["fused"]
+            state["opt"]["fused"] = f._replace(
+                lr=f.lr.at[lo:hi].set(jnp.asarray(lr, jnp.float32))
+            )
+        else:
+            state["opt"][name] = set_lr(state["opt"][name], lr)
+        return state
 
     def _step_steplr(self, state, names):
         """Increment scheduler counters and refresh LRs (torch StepLR)."""
@@ -257,7 +323,7 @@ class StyleTransferPipeline:
         for n in names:
             state["sched"][n] = state["sched"][n] + 1
             lr0, step, gamma = base[n]
-            state["opt"][n] = set_lr(state["opt"][n], step_lr(lr0, state["sched"][n], step, gamma))
+            state = self._set_module_lr(state, n, step_lr(lr0, state["sched"][n], step, gamma))
         return state
 
     def _step_plateau(self, state, name, metric):
@@ -266,8 +332,7 @@ class StyleTransferPipeline:
             state["plateau"][name], metric, factor=o.plateau_factor, min_lr=o.plateau_min_lr
         )
         state["plateau"][name] = ps
-        state["opt"][name] = set_lr(state["opt"][name], ps.lr)
-        return state
+        return self._set_module_lr(state, name, ps.lr)
 
     # ----------------------------------------------------------------------
     # phase 1: target pretrain (reference :141-180)

@@ -135,3 +135,79 @@ def test_fused_infer_predict_matches_unfused(setup):
 
     preds = pipe.predict_target(state, t_train.x[:6])
     np.testing.assert_array_equal(preds, np.argmax(np.asarray(fused), -1))
+
+
+def test_fused_optimizers_match_per_module():
+    """config.fused_optimizers=True (one flat RMSprop update, segment LRs,
+    static step masks) equals the 10 per-module optax chains.
+
+    Asserted at single-epoch level: the elementwise math is identical but
+    the two configs compile different graphs, and over many epochs ulp-level
+    rounding is amplified through RMSprop's eps-dominated near-zero-grad
+    regime and the +-5e-4 WGAN clip corners (chaos, not divergence).
+    Exact-math equivalence incl. subset masking is covered by the optimizer
+    unit in this test's second half."""
+    import dataclasses
+
+    td, sd = {}, {}
+    t_train = make_dataset(12, 2, 16, 2, seed=0, label_dict=td)
+    s_train = make_dataset(12, 1, 12, 3, seed=2, label_dict=sd)
+    xb = jnp.asarray(t_train.x[:6])[None]
+    yb = jnp.asarray(t_train.y[:6])[None]
+    xs = jnp.asarray(np.repeat(s_train.x[:6], 1, 0))[None]
+    ys = jnp.asarray(s_train.y[:6])[None]
+
+    results = []
+    for fused in (True, False):
+        cfg = dataclasses.replace(tiny_config(), fused_optimizers=fused)
+        pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
+        state = pipe.init_state(jax.random.PRNGKey(0))
+        s1, _ = pipe.phase1_epoch(state, xb, yb)
+        s5, _ = pipe.phase5_epoch(state, xb, yb, xs, ys, 0)
+        results.append((s1["params"], s5["params"]))
+    for which, (a_tree, b_tree) in enumerate(zip(results[0], results[1])):
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(a_tree),
+            jax.tree_util.tree_leaves(b_tree),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=f"phase{'15'[which]} {jax.tree_util.keystr(path)}",
+            )
+
+    # exact-math unit: 3 masked fused steps == per-module optax chains
+    from feature_level_style_transfer_for_tsc_tpu.train.optim import (
+        fused_rmsprop_init,
+        fused_rmsprop_update,
+        make_rmsprop,
+    )
+    import optax
+
+    rng = np.random.default_rng(0)
+    params = {"a": {"w": jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))},
+              "b": {"k": jnp.asarray(rng.standard_normal((3, 3)).astype(np.float32))},
+              "c": {"z": jnp.asarray(rng.standard_normal((7,)).astype(np.float32))}}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape).astype(np.float32)), params
+    )
+    lrs = {"a": 1e-3, "b": 5e-4, "c": 2e-3}
+    names = ("a", "c")  # b frozen: second moment must not decay
+    tx = {n: make_rmsprop(lrs[n]) for n in params}
+    opt = {n: tx[n].init(params[n]) for n in params}
+    ref = dict(params)
+    for _ in range(3):
+        for n in names:
+            upd, opt[n] = tx[n].update(grads[n], opt[n], ref[n])
+            ref[n] = optax.apply_updates(ref[n], upd)
+    order = tuple(sorted(params))
+    fstate = fused_rmsprop_init(params, [lrs[n] for n in order])
+    mask = np.concatenate([
+        np.full(sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params[n])),
+                1.0 if n in names else 0.0, np.float32)
+        for n in order
+    ])
+    fused_p = params
+    for _ in range(3):
+        fused_p, fstate = fused_rmsprop_update(fused_p, grads, fstate, mask)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(fused_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)

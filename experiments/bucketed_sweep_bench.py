@@ -31,11 +31,16 @@ from feature_level_style_transfer_for_tsc_tpu.train.bucketed import bucket_key
 
 ROOT = "/tmp/bucketed_sweep_arch"
 EPOCHS = 5
-SHAPES = [  # (T, n_class) x 20, C=1 throughout
-    (60, 2), (70, 3), (80, 2), (90, 4), (100, 2),
-    (110, 3), (130, 2), (140, 5), (150, 2), (170, 3),
-    (190, 2), (210, 4), (230, 2), (250, 3), (280, 2),
-    (300, 6), (330, 2), (360, 3), (400, 2), (430, 4),
+SHAPES = [  # (T, n_class) x 20, C=1 throughout.  All T >= 356 so the
+    # receptive field saturates at max_kernel_size=89 — the bucket key's rf
+    # component is then CONSTANT and every dataset shares the architecture:
+    # the docstring's "every univariate dataset with T >= 356 under one T
+    # pad" case.  (For T < 356 each distinct T//4 is its own architecture,
+    # so bucketing cannot help there by design.)
+    (360, 2), (365, 3), (370, 2), (375, 4), (380, 2),
+    (390, 3), (395, 2), (400, 4), (405, 2), (410, 3),
+    (415, 2), (420, 4), (425, 2), (430, 3), (435, 2),
+    (440, 4), (445, 2), (450, 3), (455, 2), (460, 4),
 ]
 
 
@@ -51,8 +56,7 @@ def gen():
 
 def run(bucket: bool):
     out = f"/tmp/bucketed_sweep_{'b' if bucket else 'p'}.json"
-    args = ["--root", ROOT, "--epochs", str(EPOCHS), "--out", out,
-            "--budget-multiplier", "0.05"]
+    args = ["--root", ROOT, "--epochs", str(EPOCHS), "--out", out]  # full reference budgets
     if bucket:
         args.append("--bucket")
     t0 = time.perf_counter()

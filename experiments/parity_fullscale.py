@@ -181,10 +181,21 @@ def run_reference(seed):
 # ours
 # ---------------------------------------------------------------------------
 
-def run_ours(seed):
+def run_ours(seed, frozen_gradnorm=False):
+    """frozen_gradnorm=True freezes the GradNorm loss weights at their init
+    values ([2,5]/[2,2,4]) via lr=0 — the dynamics the reference's own
+    full-length run EFFECTIVELY has: its NaN logdet (det(W)<0 under
+    torch.logdet) poisons the numpy-side weight-update math so its weights
+    never move, while torch autograd keeps all module grads finite (logdet's
+    derivative W^-T doesn't use the NaN forward value).  This row is the
+    apples-to-apples comparison against the measured reference run."""
+    import dataclasses
     import time as _time
 
-    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.config import (
+        GradNormConfig,
+        PipelineConfig,
+    )
     from feature_level_style_transfer_for_tsc_tpu.data.dataset import TsClassificationData
     from feature_level_style_transfer_for_tsc_tpu.train.pipeline import StyleTransferPipeline
 
@@ -207,6 +218,10 @@ def run_ours(seed):
     assert list(t_train.y[:5]) == list(pair["t_train"][1][:5])
 
     cfg = PipelineConfig(seed=seed)
+    if frozen_gradnorm:
+        cfg = dataclasses.replace(
+            cfg, gradnorm=GradNormConfig(lr_weights_t=0.0, lr_weights_s=0.0)
+        )
     pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, cfg)
     accs = []
     t0 = _time.perf_counter()
@@ -224,14 +239,19 @@ def run_ours(seed):
         "wall_s": round(wall, 1),
         "epochs": EPOCHS,
     }
-    _merge(f"ours_seed{seed}", row)
+    _merge(f"ours{'_frozen_gn' if frozen_gradnorm else ''}_seed{seed}", row)
 
 
 def main():
     side = sys.argv[1]
     seeds = [int(s) for s in sys.argv[2:]] or [0]
     for seed in seeds:
-        (run_reference if side == "reference" else run_ours)(seed)
+        if side == "reference":
+            run_reference(seed)
+        elif side == "ours_frozen_gn":
+            run_ours(seed, frozen_gradnorm=True)
+        else:
+            run_ours(seed)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,16 @@ def generate_layer_parameter_list(
     input_in_channel = in_channel
     layer_parameter_list: List[LayerSpec] = []
     for budget in parameter_budget_list:
+        if in_channel == 0:
+            # the previous layer's budget starved its width to 0 (possible
+            # with a small budget_multiplier; the reference's fixed budgets
+            # never hit this) — fail clearly instead of ZeroDivisionError
+            raise ValueError(
+                f"parameter budget too small for kernel set "
+                f"{prime_list[0]}..{prime_list[-1]} (sum {sum(prime_list)}): "
+                "a layer's out_channels collapsed to 0. Raise "
+                "budget_multiplier or reduce the receptive field."
+            )
         out_channel = out_channels_for_budget(budget, in_channel, prime_list)
         layer = [(in_channel, out_channel, prime) for prime in prime_list]
         in_channel = len(prime_list) * out_channel

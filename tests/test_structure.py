@@ -87,3 +87,16 @@ def test_os_mask_bands():
     for b, (_, out, k) in enumerate(spec):
         band = mask[:, 0, b * 4 : (b + 1) * 4]
         assert np.all(band.sum(axis=0) == k)
+
+
+def test_builder_rejects_starved_budget():
+    """budget_multiplier can starve out_channels to 0; the builder should
+    raise a clear ValueError, not the downstream ZeroDivisionError."""
+    import pytest
+
+    from feature_level_style_transfer_for_tsc_tpu.structure import (
+        generate_layer_parameter_list,
+    )
+
+    with pytest.raises(ValueError, match="too small"):
+        generate_layer_parameter_list(1, 37, [50, 50], 1)

@@ -678,6 +678,10 @@ class StyleTransferPipeline:
                 leaves = jax.tree_util.tree_leaves(g[trunk_key]["block"])
                 return jnp.sum(jnp.stack([jnp.linalg.norm(l.reshape(-1)) for l in leaves]))
 
+            # (Measured alternative: vmapping the pullback over eye(6) to
+            # batch the 6 backwards into one loses the constant-seed DCE —
+            # every pull then traverses the full graph — and ran 0.40x on
+            # the v5e.  The one-hot-constant form below is the winner.)
             grads = pull(0)
             n_t = jnp.stack([trunk_norm(pull(i), "t_ext") for i in (1, 2)])
             n_s = jnp.stack([trunk_norm(pull(i), "s_ext") for i in (3, 4, 5)])

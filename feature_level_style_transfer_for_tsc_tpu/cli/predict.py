@@ -57,7 +57,16 @@ def main(argv=None):
         s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
     )
     template = pipe.init_state(jax.random.PRNGKey(cfg.seed))
-    state = restore_checkpoint(args.checkpoint, template)
+    # Restore only params + mstate: inference never touches optimizer state,
+    # and the opt pytree layout depends on training-time config knobs
+    # (e.g. fused_optimizers) this CLI doesn't know — a full-state restore
+    # would fail on any layout mismatch.
+    restored = restore_checkpoint(
+        args.checkpoint,
+        {"params": template["params"], "mstate": template["mstate"]},
+    )
+    state = dict(template)
+    state.update(restored)
 
     ds = t_test if args.split == "test" else t_train
     preds = pipe.predict_target(state, ds.x)

@@ -121,7 +121,9 @@ def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int):
 # epilogue INSIDE the kernel is 0.90-0.96x vs letting XLA fuse it onto the
 # kernel's output (extra VMEM operands + a second store path beat nothing).
 # Declined by default; flip for remeasurement on new hardware.
-_FUSE_EPILOGUE_IN_KERNEL = os.environ.get("FLSTTSC_FUSE_EPILOGUE", "0") == "1"
+def fuse_epilogue_in_kernel() -> bool:
+    # read per call (like use_pallas()) so tests/monkeypatch can flip it
+    return os.environ.get("FLSTTSC_FUSE_EPILOGUE", "0") == "1"
 
 
 def _os_conv_fused_kernel(
@@ -241,8 +243,11 @@ def masked_os_conv(
     if scale is not None:
         # fold bias into the shift: (conv + bias)*scale + shift
         eff_shift = bias * scale + (shift if shift is not None else 0.0)
-        if _FUSE_EPILOGUE_IN_KERNEL and use_pallas() and _pallas_profitable(
-            x_pad.shape[1], x_pad.shape[2], k
+        if (
+            fuse_epilogue_in_kernel()
+            and x_pad.dtype == jnp.float32  # pltpu.roll is 32-bit-only
+            and use_pallas()
+            and _pallas_profitable(x_pad.shape[1], x_pad.shape[2], k)
         ):
             # NO-GRAD inference path (no custom VJP) — eval/voting only.
             return _conv_pallas_fused(x_pad, w, scale, eff_shift, relu)

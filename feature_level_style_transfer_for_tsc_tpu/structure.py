@@ -91,6 +91,15 @@ def generate_layer_parameter_list(
                 "budget_multiplier or reduce the receptive field."
             )
         out_channel = out_channels_for_budget(budget, in_channel, prime_list)
+        if out_channel == 0:
+            # also catches the LAST layer collapsing (no subsequent consumer
+            # would trip the in_channel==0 guard above)
+            raise ValueError(
+                f"parameter budget {budget} too small for kernel set "
+                f"{prime_list[0]}..{prime_list[-1]} (sum {sum(prime_list)}): "
+                "out_channels collapsed to 0. Raise budget_multiplier or "
+                "reduce the receptive field."
+            )
         layer = [(in_channel, out_channel, prime) for prime in prime_list]
         in_channel = len(prime_list) * out_channel
         layer_parameter_list.append(layer)

@@ -70,7 +70,9 @@ def test_mask_bounds_match_reference_math():
 
 
 def test_layer_shapes_padding():
-    lpl = S.generate_layer_parameter_list(1, 10, [512, 1024], 1)
+    # layer-1 budget must cover in_channel(=140)*sum_primes(=18); 1024 would
+    # starve out_channels to 0, which the builder now rejects up front
+    lpl = S.generate_layer_parameter_list(1, 10, [512, 4096], 1)
     sh = S.layer_shapes(lpl[0])
     K = lpl[0][-1][-1]
     assert sh.pad_left == (K - 1) // 2 and sh.pad_right == K // 2

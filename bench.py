@@ -20,7 +20,10 @@ Extra reported keys:
   * flops_per_step / mfu — XLA cost-analysis FLOPs of the jitted production
     step and the achieved fraction of the chip's bf16 peak (v5e: 197e12
     FLOP/s; an f32 workload can reach at most ~half of that, so this MFU is
-    a conservative lower bound).
+    a conservative lower bound);
+  * vmap8_* — 8 independent runs vmapped into ONE program
+    (train/multirun.py): the chip-filling aggregate throughput/MFU a seed
+    sweep achieves on one chip.
 
 The baseline is measured, not copied (the reference publishes no numbers,
 BASELINE.md).  Set BENCH_SKIP_REFERENCE=1 to reuse the cached baseline.
@@ -370,6 +373,46 @@ def measure_ours_simple(pipe, state):
     return (2 * B) / dt
 
 
+def measure_ours_multirun(pipe, k=8):
+    """K independent runs vmapped into ONE program (train/multirun.py) —
+    the chip-filling path: aggregate production-step throughput when the
+    seed sweep every result needs anyway shares the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from feature_level_style_transfer_for_tsc_tpu.train.multirun import (
+        MultiRunData,
+        MultiRunStylePipeline,
+    )
+
+    mpipe = MultiRunStylePipeline(pipe)
+    pairs = []
+    for r in range(k):
+        xt, yt = _synth(100 + 2 * r, B, T_T, C_T, N_T)
+        xs, ys = _synth(101 + 2 * r, B, T_S, C_S, N_S)
+        pair = {
+            "t_train": (np.transpose(xt, (0, 2, 1)), yt.astype(np.int32)),
+            "s_train": (np.transpose(xs, (0, 2, 1)), ys.astype(np.int32)),
+        }
+        pair["t_test"], pair["s_test"] = pair["t_train"], pair["s_train"]
+        pairs.append(pair)
+    data = MultiRunData.from_pairs(pairs)
+    states = mpipe.init_states(list(range(k)))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(k))
+
+    # N == B -> one production step per run per epoch call
+    states, m = mpipe._p5(states, *data.t_train, *data.s_train, keys, jnp.asarray(0))
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for e in range(1, 1 + TIMED_STEPS):
+        states, m = mpipe._p5(
+            states, *data.t_train, *data.s_train, keys, jnp.asarray(e)
+        )
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / TIMED_STEPS
+    return k * 2 * B / dt, dt
+
+
 def main():
     cache = {}
     if os.path.exists(CACHE_FILE):
@@ -395,6 +438,14 @@ def main():
     if flops:
         out["flops_per_step"] = round(flops)
         out["mfu_vs_bf16_peak"] = round(flops / step_time / V5E_PEAK_FLOPS, 5)
+    k = 8
+    vmap_agg, vmap_dt = measure_ours_multirun(pipe, k=k)
+    out[f"vmap{k}_aggregate_series_per_sec"] = round(vmap_agg, 2)
+    out[f"vmap{k}_vs_baseline"] = round(vmap_agg / baseline, 2)
+    if flops:
+        out[f"vmap{k}_mfu_vs_bf16_peak"] = round(
+            k * flops / vmap_dt / V5E_PEAK_FLOPS, 5
+        )
     print(json.dumps(out))
 
 

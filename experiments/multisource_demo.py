@@ -1,0 +1,121 @@
+"""Config-4 at spec: multi-source voting over 5+ source domains (VERDICT r2 #3).
+
+Reference pattern: K sequential `train()` runs (one per source), then vote
+over MID-curriculum checkpoints — `multi_source_voting.py:265-279` loads
+epoch_{10,82,280}.tar from three runs.  Here `cli.multi_source` trains
+FIVE source->target members from one command (heterogeneous source shapes),
+snapshots members at reference-style mixed curriculum depths via
+--capture-epochs, and votes on the domain-sharded path with all three vote
+rules (active + the two commented variants).
+
+The target is label-scarce (24 train series) so the sources matter; a
+target-only OS-CNN baseline anchors the lift.
+
+Usage: python experiments/multisource_demo.py
+Writes experiments/results_multisource_demo.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import (  # noqa: E402
+    make_arrays,
+    write_ts_file,
+)
+
+RESULTS = os.path.join(HERE, "results_multisource_demo.json")
+ARCH = "/tmp/multisource_demo_arch"
+OUT = "/tmp/multisource_demo_out"
+
+TARGET = ("Target", 1, 150, 4, 2.5)  # name, C, T, n_cls, noise
+SOURCES = [
+    ("SrcA", 1, 150, 4, 1.5),
+    ("SrcB", 1, 175, 4, 1.8),
+    ("SrcC", 2, 150, 3, 1.5),
+    ("SrcD", 1, 120, 5, 2.0),
+    ("SrcE", 1, 150, 2, 1.2),
+]
+PHASE_EPOCHS = {"p1": 3, "p2": 20, "p3": 40, "p4": 60, "p5": 60}
+CAPTURE = "20,40,58,58,58"  # reference-style mixed-depth members
+
+
+def gen_archive():
+    shutil.rmtree(ARCH, ignore_errors=True)
+    name, c, t, ncls, noise = TARGET
+    x, y = make_arrays(24, c, t, ncls, seed=1, noise=noise)  # label-scarce
+    write_ts_file(f"{ARCH}/{name}/{name}_TRAIN.ts", x, y)
+    x, y = make_arrays(120, c, t, ncls, seed=2, noise=noise)
+    write_ts_file(f"{ARCH}/{name}/{name}_TEST.ts", x, y)
+    for i, (name, c, t, ncls, noise) in enumerate(SOURCES):
+        x, y = make_arrays(60, c, t, ncls, seed=10 + i, noise=noise)
+        write_ts_file(f"{ARCH}/{name}/{name}_TRAIN.ts", x, y)
+        x, y = make_arrays(60, c, t, ncls, seed=40 + i, noise=noise)
+        write_ts_file(f"{ARCH}/{name}/{name}_TEST.ts", x, y)
+
+
+def target_only_baseline():
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.data import TestData, TrainData
+    from feature_level_style_transfer_for_tsc_tpu.train.classifier import (
+        OSCNNClassifier,
+    )
+
+    d = {}
+    tr = TrainData(ARCH, "Target/Target_TRAIN.ts", d)
+    te = TestData(ARCH, "Target/Target_TEST.ts", d)
+    clf = OSCNNClassifier(
+        tr.in_channel, tr.time_length, tr.num_class,
+        config=PipelineConfig(), with_cpc=False,
+    )
+    total = sum(PHASE_EPOCHS.values())  # same epoch budget as one member
+    _, hist = clf.fit(tr, te, epochs=total, verbose=False)
+    accs = [h["test_acc"] for h in hist if "test_acc" in h]
+    return {"final": accs[-1], "best": max(accs), "epochs": total}
+
+
+def main():
+    gen_archive()
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    from feature_level_style_transfer_for_tsc_tpu.cli import multi_source
+
+    result = multi_source.main(
+        [
+            "--target-root", ARCH, "--target", "Target",
+            "--source-root", ARCH,
+            "--sources", ",".join(s[0] for s in SOURCES),
+            "--out", OUT,
+            "--phase-epochs", json.dumps(PHASE_EPOCHS),
+            "--capture-epochs", CAPTURE,
+        ]
+    )
+    baseline = target_only_baseline()
+    row = {
+        "n_sources": len(SOURCES),
+        "sources": [dict(zip(("name", "C", "T", "n_cls", "noise"), s)) for s in SOURCES],
+        "target_train_n": 24,
+        "phase_epochs": PHASE_EPOCHS,
+        "capture_epochs": CAPTURE,
+        "member_accs": result["member_accs"],
+        "member_mean": float(np.mean(result["member_accs"])),
+        "vote_variants": result["vote_variants"],
+        "ensemble_acc": result["ensemble_acc"],
+        "target_only_baseline": baseline,
+        "cli": "feature_level_style_transfer_for_tsc_tpu.cli.multi_source",
+    }
+    with open(RESULTS, "w") as f:
+        json.dump(row, f, indent=2)
+    print(json.dumps(row, indent=2))
+
+
+if __name__ == "__main__":
+    main()

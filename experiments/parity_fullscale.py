@@ -18,6 +18,8 @@ same data.  Both sides see the SAME arrays and the same integer labels.
 
 Usage:
   python experiments/parity_fullscale.py ours [seed ...]      # TPU, minutes
+  python experiments/parity_fullscale.py ours_vmap [seed ...] # TPU, ALL seeds
+                                         # as ONE vmapped program (multirun)
   python experiments/parity_fullscale.py reference [seed ...] # CPU, hours
 Each invocation merges its rows into results_parity_fullscale.json.
 """
@@ -242,9 +244,62 @@ def run_ours(seed, frozen_gradnorm=False):
     _merge(f"ours{'_frozen_gn' if frozen_gradnorm else ''}_seed{seed}", row)
 
 
+def run_ours_vmapped(seeds):
+    """ALL seeds' full curricula as ONE vmapped program (train/multirun.py —
+    the chip-filling path, VERDICT r2 #1).  Each seed sees the same data and
+    key discipline as `run_ours`, so rows are comparable; also merges an
+    aggregate row with the K-run wall clock."""
+    import time as _time
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.train.multirun import (
+        MultiRunData,
+        MultiRunStylePipeline,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import (
+        StyleTransferPipeline,
+    )
+
+    pairs = [
+        {k: get_pair(seed)[k] for k in ("t_train", "t_test", "s_train", "s_test")}
+        for seed in seeds
+    ]
+    data = MultiRunData.from_pairs(pairs)
+    pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, PipelineConfig())
+    mpipe = MultiRunStylePipeline(pipe)
+    accs = []
+    t0 = _time.perf_counter()
+    states, history = mpipe.run(
+        data, seeds, epochs=EPOCHS,
+        eval_hook=lambda e, st, a: accs.append(np.asarray(a["target_test_acc"])),
+    )
+    wall = _time.perf_counter() - t0
+    accs = np.stack(accs)  # [n_evals, K]
+    for i, seed in enumerate(seeds):
+        _merge(f"ours_vmap_seed{seed}", {
+            "final_test_acc": float(accs[-1, i]),
+            "best_test_acc": float(accs[:, i].max()),
+            "last10_mean": float(accs[-10:, i].mean()),
+            "n_evals": int(accs.shape[0]),
+            "wall_s": round(wall, 1),  # shared: ONE program ran all K runs
+            "epochs": EPOCHS,
+        })
+    _merge("ours_vmap_aggregate", {
+        "n_runs": len(seeds),
+        "wall_s_total": round(wall, 1),
+        "wall_s_per_run": round(wall / len(seeds), 1),
+        "final_test_acc_mean": float(accs[-1].mean()),
+        "final_test_acc_std": float(accs[-1].std()),
+        "epochs": EPOCHS,
+    })
+
+
 def main():
     side = sys.argv[1]
     seeds = [int(s) for s in sys.argv[2:]] or [0]
+    if side == "ours_vmap":
+        run_ours_vmapped(seeds)
+        return
     for seed in seeds:
         if side == "reference":
             run_reference(seed)

@@ -1,0 +1,86 @@
+"""End-to-end run whose input is an archive-format file on disk (VERDICT r2 #5b).
+
+Drives `cli.main` (train, shortened curriculum) and `cli.predict` (restore +
+serve) on the vendored archive under datasets/Univariate_ts — real `.ts`
+files in the real `<root>/<Name>/<Name>_{TRAIN,TEST}.ts` layout parsed by
+the production loader (native C++ or python .ts parser), NOT arrays from
+data/synthetic.py.  Mirrors the reference's own usage
+(/root/reference/main.py:7-11 -> DataSource.TrainData/TestData).
+
+Usage: python experiments/vendored_e2e.py [--full]
+  default: shortened curriculum (minutes on the v5e)
+  --full:  the reference's complete 3/70/325/600/720
+Writes experiments/results_vendored_e2e.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+RESULTS = os.path.join(HERE, "results_vendored_e2e.json")
+
+
+def main():
+    full = "--full" in sys.argv
+    out = os.path.join("/tmp", "vendored_e2e")
+    phase_epochs = (
+        {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}
+        if full
+        else {"p1": 3, "p2": 30, "p3": 60, "p4": 90, "p5": 90}
+    )
+
+    from feature_level_style_transfer_for_tsc_tpu.cli import main as cli_main
+    from feature_level_style_transfer_for_tsc_tpu.cli import predict as cli_predict
+
+    root = os.path.join(REPO, "datasets", "Univariate_ts")
+    t0 = time.perf_counter()
+    cli_main.main(
+        [
+            "--target-root", root, "--target", "VendGunPoint",
+            "--source-root", root, "--source", "VendEthanol",
+            "--out", out,
+            "--phase-epochs", json.dumps(phase_epochs),
+        ]
+    )
+    train_wall = time.perf_counter() - t0
+
+    acc = cli_predict.main(
+        [
+            "--target-root", root, "--target", "VendGunPoint",
+            "--source-root", root, "--source", "VendEthanol",
+            "--checkpoint", os.path.join(out, "final_state.npz"),
+            "--out", os.path.join(out, "final"),
+        ]
+    )
+
+    history = json.load(open(os.path.join(out, "history.json")))
+    test_accs = [
+        r["target_test_acc"] for r in history if r.get("phase") == "p5_eval"
+    ]
+    row = {
+        "dataset": "VendGunPoint <- VendEthanol (vendored archive-format files)",
+        "loader": "production .ts path (datasets/Univariate_ts on disk)",
+        "phase_epochs": phase_epochs,
+        "train_wall_s": round(train_wall, 1),
+        "predict_cli_test_acc": acc,
+        "final_test_acc": test_accs[-1],
+        "best_test_acc": max(test_accs),
+    }
+    data = {}
+    if os.path.exists(RESULTS):
+        data = json.load(open(RESULTS))
+    data["full" if full else "short"] = row
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(row, indent=2))
+
+
+if __name__ == "__main__":
+    main()

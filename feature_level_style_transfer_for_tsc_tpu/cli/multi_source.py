@@ -48,6 +48,14 @@ def main(argv=None):
     )
     p.add_argument("--phase-epochs", default=None, help="JSON phase-length override")
     p.add_argument("--budget-multiplier", type=float, default=1.0)
+    p.add_argument(
+        "--capture-epochs", default=None,
+        help="comma-separated phase-5 epochs; source i's member is snapshot "
+        "at capture_epochs[i %% len] instead of end-of-run — the reference "
+        "votes over MID-curriculum checkpoints (epoch_{10,82,280}.tar at "
+        "multi_source_voting.py:265-279). Epochs must be multiples of "
+        "eval_every (the checkpoint cadence).",
+    )
     args = p.parse_args(argv)
     phase_epochs = json.loads(args.phase_epochs) if args.phase_epochs else None
 
@@ -72,6 +80,17 @@ def main(argv=None):
         for path in args.member_checkpoints.split(","):
             members.append(restore_checkpoint(path, template))
         sources = []
+    capture_epochs = (
+        [int(e) for e in args.capture_epochs.split(",")]
+        if args.capture_epochs else None
+    )
+
+    def extract_member(state):
+        return {
+            "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
+            "mstate": {"ext": state["mstate"]["t_ext"], "cls": state["mstate"]["t_cls"]},
+        }
+
     def make_member_fn(i, source):
         def fn():
             source_dict = {}
@@ -83,15 +102,23 @@ def main(argv=None):
                 t_train.in_channel, t_train.time_length, t_train.num_class,
                 s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
             )
-            state, history = pipe.run(
-                t_train, t_test, s_train, s_test, epochs=phase_epochs, verbose=False
+            snap = {}
+            capture_at = (
+                capture_epochs[i % len(capture_epochs)] if capture_epochs else None
             )
-            member = {
-                "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
-                "mstate": {"ext": state["mstate"]["t_ext"], "cls": state["mstate"]["t_cls"]},
-            }
+
+            def checkpoint_hook(e, state):
+                if capture_at is not None and e == capture_at:
+                    snap["member"] = jax.device_get(extract_member(state))
+
+            state, history = pipe.run(
+                t_train, t_test, s_train, s_test, epochs=phase_epochs,
+                verbose=False, checkpoint_hook=checkpoint_hook,
+            )
+            member = snap.get("member") or extract_member(state)
+            tag = f"@p5e{capture_at}" if "member" in snap else ""
             save_checkpoint(os.path.join(args.out, f"member_{source}.npz"), member)
-            print(f"[{source}] final:", history[-1])
+            print(f"[{source}{tag}] final:", history[-1])
             return member
 
         return fn
@@ -122,9 +149,19 @@ def main(argv=None):
     )
     with open(os.path.join(args.out, "ensemble.json"), "w") as f:
         json.dump(
-            {"ensemble_acc": result["ensemble_acc"], "member_accs": result["member_accs"]}, f
+            {
+                "ensemble_acc": result["ensemble_acc"],
+                "member_accs": result["member_accs"],
+                "vote_variants": result["vote_variants"],
+            },
+            f,
         )
-    print("ensemble accuracy:", result["ensemble_acc"], "members:", result["member_accs"])
+    print(
+        "ensemble accuracy:", result["ensemble_acc"],
+        "members:", result["member_accs"],
+        "variants:", result["vote_variants"],
+    )
+    return result
 
 
 if __name__ == "__main__":

@@ -96,7 +96,14 @@ class MultiSourceEnsemble:
         return np.asarray(entropy_precision_vote(logits, class_weights, self.voting))
 
     def evaluate(self, stacked: Dict, train_ds, test_ds) -> Dict:
-        """Full ensemble evaluation: weights from train split, vote on test."""
+        """Full ensemble evaluation: weights from train split, vote on test.
+
+        Reports all three vote rules the reference tree contains: the active
+        entropy+precision vote (multi_source_voting.py:405-429), the
+        commented entropy-only variant (:118-227) and the per-predicted-label
+        variant (visualization.py:231-440)."""
+        from ..evaluation.voting import entropy_only_vote, predicted_label_vote
+
         weights = self.compute_class_weights(stacked, train_ds.x, train_ds.y)
         pred = self.predict(stacked, test_ds.x, weights)
         member_logits = self.member_logits(stacked, jnp.asarray(test_ds.x))
@@ -104,8 +111,19 @@ class MultiSourceEnsemble:
             float(np.mean(np.asarray(jnp.argmax(l, -1)) == test_ds.y))
             for l in member_logits
         ]
+        y = test_ds.y
+        variants = {
+            "entropy_precision": float(np.mean(pred == y)),
+            "entropy_only": float(
+                np.mean(np.asarray(entropy_only_vote(member_logits)) == y)
+            ),
+            "predicted_label": float(
+                np.mean(np.asarray(predicted_label_vote(member_logits, weights)) == y)
+            ),
+        }
         return {
-            "ensemble_acc": float(np.mean(pred == test_ds.y)),
+            "ensemble_acc": variants["entropy_precision"],
+            "vote_variants": variants,
             "member_accs": member_accs,
             "class_weights": np.asarray(weights),
             "predictions": pred,

@@ -800,6 +800,7 @@ class StyleTransferPipeline:
         log_every: int = 1,
         log_file: Optional[str] = None,
         pretrain_eval_every: int = 1,
+        seed: Optional[int] = None,
     ):
         """Run the full curriculum (phase lengths overridable for testing).
 
@@ -826,9 +827,11 @@ class StyleTransferPipeline:
         }
         if epochs:
             ep.update(epochs)
+        if seed is None:
+            seed = cfg.seed
         if state is None:
-            state = self.init_state(jax.random.PRNGKey(cfg.seed))
-        skey = jax.random.PRNGKey(cfg.seed + 1)
+            state = self.init_state(jax.random.PRNGKey(seed))
+        skey = jax.random.PRNGKey(seed + 1)
         history = []
         file_logger = None
         if log_file:

@@ -36,6 +36,7 @@ SLOW_MODULES = {
     "test_gradnorm_equiv",
     "test_torch_parity",
     "test_torch_parity_pipeline",
+    "test_multirun",
 }
 
 

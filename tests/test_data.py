@@ -95,3 +95,125 @@ def test_preprocess_znorm_and_windows():
     xb, yb = windows_as_batch(x, jnp.asarray([0, 1, 2]), 8, 4)
     assert xb.shape == (12, 8, 2)
     np.testing.assert_array_equal(np.asarray(yb), np.repeat([0, 1, 2], 4))
+
+
+# ---------------------------------------------------------------------------
+# adversarial .ts variants (VERDICT r2 weak #4): @timestamps tuple lines,
+# quoted labels, @equalLength/@seriesLength mismatches.  Ground truth is
+# hand-computed from the sktime .ts format spec (sktime itself is absent).
+# ---------------------------------------------------------------------------
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_timestamps_integer_tuples(tmp_path):
+    path = _write(tmp_path, "ts_int.ts", """@problemName T
+@timeStamps true
+@univariate false
+@dimensions 2
+@equalLength true
+@seriesLength 3
+@classLabel true a b
+@data
+(0,1.0),(1,2.0),(2,3.0):(0,4.0),(1,5.0),(2,6.0):a
+(0,-1.5),(1,0.25),(2,7.0):(0,8.0),(1,9.0),(2,10.0):b
+""")
+    x, y = load_from_tsfile(path)
+    assert x.shape == (2, 2, 3)
+    np.testing.assert_allclose(x[0], [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    np.testing.assert_allclose(x[1, 0], [-1.5, 0.25, 7.0])
+    assert list(y) == ["a", "b"]
+
+
+def test_timestamps_datetime_with_colons(tmp_path):
+    # datetimes contain ':' and spaces — the label split must be paren-aware
+    path = _write(tmp_path, "ts_dt.ts", """@problemName T
+@timeStamps true
+@univariate true
+@equalLength true
+@seriesLength 2
+@classLabel true up down
+@data
+(2004-01-01 00:00:00,1.5),(2004-01-01 00:01:00,2.5):up
+(2004-01-01 00:00:00,-3.0),(2004-01-01 00:01:00,?):down
+""")
+    x, y = load_from_tsfile(path)
+    assert x.shape == (2, 1, 2)
+    np.testing.assert_allclose(x[0, 0], [1.5, 2.5])
+    assert x[1, 0, 0] == -3.0 and np.isnan(x[1, 0, 1])
+    assert list(y) == ["up", "down"]
+
+
+def test_quoted_labels(tmp_path):
+    path = _write(tmp_path, "quoted.ts", """@problemName Q
+@univariate true
+@equalLength true
+@seriesLength 2
+@classLabel true "class one" "class two"
+@data
+1.0,2.0:"class one"
+3.0,4.0:"class two"
+""")
+    x, y = load_from_tsfile(path)
+    assert list(y) == ["class one", "class two"]
+    np.testing.assert_allclose(x[:, 0], [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_equal_length_mismatch_raises(tmp_path):
+    path = _write(tmp_path, "bad_len.ts", """@problemName B
+@univariate true
+@equalLength true
+@classLabel true a b
+@data
+1.0,2.0,3.0:a
+1.0,2.0:b
+""")
+    with pytest.raises(ValueError, match="equalLength|seriesLength"):
+        load_from_tsfile(path)
+
+
+def test_series_length_mismatch_raises(tmp_path):
+    path = _write(tmp_path, "bad_slen.ts", """@problemName B
+@univariate true
+@equalLength true
+@seriesLength 4
+@classLabel true a
+@data
+1.0,2.0,3.0:a
+""")
+    with pytest.raises(ValueError, match="equalLength|seriesLength"):
+        load_from_tsfile(path)
+
+
+def test_undeclared_label_raises(tmp_path):
+    path = _write(tmp_path, "bad_label.ts", """@problemName B
+@univariate true
+@equalLength true
+@seriesLength 2
+@classLabel true a b
+@data
+1.0,2.0:a
+3.0,4.0:zzz
+""")
+    with pytest.raises(ValueError, match="classLabel"):
+        load_from_tsfile(path)
+
+
+def test_unequal_length_false_pads(tmp_path):
+    # @equalLength false: right-pad with NaN (documented TPU-friendly choice)
+    path = _write(tmp_path, "varlen.ts", """@problemName V
+@univariate true
+@equalLength false
+@classLabel true a b
+@data
+1.0,2.0,3.0:a
+4.0,5.0:b
+""")
+    x, y = load_from_tsfile(path)
+    assert x.shape == (2, 1, 3)
+    np.testing.assert_allclose(x[0, 0], [1.0, 2.0, 3.0])
+    assert x[1, 0, 0] == 4.0 and np.isnan(x[1, 0, 2])

@@ -1,0 +1,183 @@
+"""Vmapped K-run training == K sequential runs (train/multirun.py).
+
+The multirun path exists to fill the chip (VERDICT r2 #1): K independent
+seeds of the full curriculum batched into one program.  Correctness bar,
+established by the measured equivalence study (phases 1-4 reproduce the
+sequential trajectories BITWISE; phase 5's six-pullback GradNorm norms
+reassociate under vmap, and RMSprop amplifies that float noise along the
+BN-degenerate directions exactly as documented for DP in
+tests/test_parallel.py / __graft_entry__.py):
+
+  * phases 1-4: per-epoch metrics equal to float-noise (1e-5);
+  * phase 5:    per-epoch metrics equal to reassociation tolerance, final
+                params equal outside the degenerate directions, and a
+                functional probe (full phase-5 forward) agrees.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from feature_level_style_transfer_for_tsc_tpu.config import FlowConfig, PipelineConfig
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import make_dataset
+from feature_level_style_transfer_for_tsc_tpu.train.multirun import (
+    MultiRunData,
+    MultiRunStylePipeline,
+    stack_states,
+    unstack_state,
+)
+from feature_level_style_transfer_for_tsc_tpu.train.pipeline import StyleTransferPipeline
+
+EPOCHS = {"p1": 1, "p2": 1, "p3": 2, "p4": 2, "p5": 1}
+
+
+def tiny_cfg(seed=0):
+    return PipelineConfig(
+        seed=seed,
+        batch_size=4,
+        max_kernel_size=5,
+        cdan_dim=32,
+        cpc_hidden=8,
+        budget_multiplier=0.02,
+        eval_every=1,
+        flow=FlowConfig(n_flows=2, wn_channels=8, wn_layers=2),
+    )
+
+
+def make_pair(seed):
+    td, sd = {}, {}
+    t_train = make_dataset(10, 2, 16, 2, seed=seed, label_dict=td)
+    t_test = make_dataset(8, 2, 16, 2, seed=seed + 50, label_dict=td)
+    s_train = make_dataset(10, 1, 12, 3, seed=seed + 100, label_dict=sd)
+    s_test = make_dataset(8, 1, 12, 3, seed=seed + 150, label_dict=sd)
+    return t_train, t_test, s_train, s_test
+
+
+def test_multirun_matches_sequential():
+    seeds = [3, 7]
+    datasets = {s: make_pair(s) for s in seeds}
+    # ONE pipeline definition: identical shapes, shared jit cache; per-run
+    # seed passed to run() (same key discipline the multirun path uses)
+    pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, tiny_cfg())
+    seq = {}
+    for s in seeds:
+        t_train, t_test, s_train, s_test = datasets[s]
+        seq[s] = pipe.run(
+            t_train, t_test, s_train, s_test, epochs=EPOCHS, verbose=False,
+            pretrain_eval_every=0, seed=s,
+        )
+
+    mpipe = MultiRunStylePipeline(pipe)
+    data = MultiRunData.from_pairs(
+        [
+            {
+                "t_train": (d[0].x, d[0].y), "t_test": (d[1].x, d[1].y),
+                "s_train": (d[2].x, d[2].y), "s_test": (d[3].x, d[3].y),
+            }
+            for d in (datasets[s] for s in seeds)
+        ]
+    )
+    states, history = mpipe.run(data, seeds, epochs=EPOCHS)
+
+    # --- per-epoch metric trajectories against each sequential history ----
+    for i, s in enumerate(seeds):
+        seq_hist = seq[s][1]
+        assert len(seq_hist) == len(history)
+        for a, b in zip(seq_hist, history):
+            assert a["phase"] == b["phase"] and a["epoch"] == b["epoch"]
+            for k, bv in b.items():
+                if k in ("phase", "epoch") or k not in a:
+                    continue
+                av = np.asarray(a[k])
+                mv = np.asarray(bv)[i]
+                if a["phase"] in ("p1", "p2", "p3", "p4"):
+                    # measured: bitwise-equal; assert to float noise
+                    np.testing.assert_allclose(
+                        mv, av, atol=1e-5, rtol=1e-5,
+                        err_msg=f"run {s} {a['phase']}#{a['epoch']} {k}",
+                    )
+                elif a["phase"] == "p5":
+                    # reassociation noise amplified by RMSprop (see module
+                    # docstring); measured max ~3.5e-3 after one epoch
+                    np.testing.assert_allclose(
+                        mv, av, atol=2e-2, rtol=5e-2,
+                        err_msg=f"run {s} p5#{a['epoch']} {k}",
+                    )
+                else:  # p5_eval accuracies: allow one boundary flip (1/8)
+                    assert abs(float(mv) - float(av)) <= 0.125 + 1e-6, (
+                        s, a["epoch"], k, float(mv), float(av),
+                    )
+
+    # --- final params (degenerate directions excluded, cf. test_parallel) --
+    for i, s in enumerate(seeds):
+        mine = unstack_state(states, i)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(mine["params"]),
+            jax.tree_util.tree_leaves_with_path(seq[s][0]["params"]),
+        ):
+            key = jax.tree_util.keystr(path)
+            # degenerate directions (cf. test_parallel/__graft_entry__): BN-fed
+            # biases, the flow's weight-norm (v,g) null direction, and the
+            # NoiseTransfer conv — its grad is proportional to the running
+            # target/source average DIFFERENCE, ~0 in early epochs, so the
+            # direction is float-noise-dominated and RMSprop steps it lr-sized;
+            # its function is covered by the probe below (delta = SELU(W@~0)).
+            if (
+                "bias" in key
+                or ("'nf'" in key and ("'v'" in key or "'g'" in key))
+                or key.startswith("['noise']")
+            ):
+                continue
+            # gross-divergence guard only (strong invariants: per-epoch
+            # metrics + probe). vmap reassociates every reduction, and
+            # RMSprop turns sub-1e-7 grad noise into lr-sized steps on any
+            # weakly-determined leaf, so a handful of elements drift ~2e-2
+            # in one p5 epoch (measured: prob_trans LSTM 4/1296 at 0.023).
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-2,
+                err_msg=f"run {s} param {key}",
+            )
+
+    # --- functional probe: full phase-5 forward from both endpoints -------
+    import jax.numpy as jnp
+
+    for i, s in enumerate(seeds):
+        t_train, _, s_train, _ = datasets[s]
+        mine = unstack_state(states, i)
+        probe = jax.random.PRNGKey(99)
+        bt = jnp.asarray(t_train.x[:4])
+        lt = jnp.asarray(t_train.y[:4])
+        bs = jnp.asarray(s_train.x[:4])
+        ls = jnp.asarray(s_train.y[:4])
+        l_m, _, _ = pipe._phase5_forward(
+            jax.device_get(mine["params"]), jax.device_get(mine["mstate"]),
+            jax.device_get(mine["consts"]), bt, lt, bs, ls, probe,
+        )
+        l_s, _, _ = pipe._phase5_forward(
+            seq[s][0]["params"], seq[s][0]["mstate"], seq[s][0]["consts"],
+            bt, lt, bs, ls, probe,
+        )
+        for k in l_s:
+            # gross-bug guard (wrong batching/keys would diverge at O(1));
+            # measured noise: the near-zero toy flow NLL wobbles ~8e-3 from
+            # accumulated reassociation drift after 7 epochs
+            np.testing.assert_allclose(
+                np.asarray(l_m[k]), np.asarray(l_s[k]), rtol=2e-2, atol=2e-2,
+                err_msg=f"run {s} probe loss {k}",
+            )
+
+    # metrics history is per-run [K]
+    p5 = [r for r in history if r["phase"] == "p5"]
+    assert len(p5) == EPOCHS["p5"] and p5[0]["t_c"].shape == (2,)
+
+
+def test_stack_unstack_roundtrip():
+    pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, tiny_cfg())
+    sts = [pipe.init_state(jax.random.PRNGKey(s)) for s in (0, 1)]
+    stacked = stack_states(sts)
+    back = unstack_state(stacked, 1)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(back),
+        jax.tree_util.tree_leaves_with_path(sts[1]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -53,8 +53,12 @@ def main():
         rows = json.load(open(RESULTS))
 
     for k in ks:
+        # get_pair is channel-first (N, C, T); MultiRunData wants (N, T, C)
         pairs = [
-            {name: get_pair(seed)[name] for name in ("t_train", "t_test", "s_train", "s_test")}
+            {
+                name: (np.transpose(v[0], (0, 2, 1)), v[1])
+                for name, v in get_pair(seed).items()
+            }
             for seed in range(k)
         ]
         data = MultiRunData.from_pairs(pairs)

@@ -260,8 +260,13 @@ def run_ours_vmapped(seeds):
         StyleTransferPipeline,
     )
 
+    # get_pair is channel-first (N, C, T) like the reference loader; the
+    # pipeline (and MultiRunData) are channel-last (N, T, C)
     pairs = [
-        {k: get_pair(seed)[k] for k in ("t_train", "t_test", "s_train", "s_test")}
+        {
+            k: (np.transpose(v[0], (0, 2, 1)), v[1])
+            for k, v in get_pair(seed).items()
+        }
         for seed in seeds
     ]
     data = MultiRunData.from_pairs(pairs)

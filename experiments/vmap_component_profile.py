@@ -85,26 +85,29 @@ def main():
         feat = feat[..., :c_feat]
 
     rows = {}
-    for k in ks:
-        row = {}
-        f_ext = jax.jit(jax.vmap(ext_vg))
-        row["os_extractor_vg_ms"] = 1e3 * timeit(
-            f_ext, stack(params["t_ext"], k), stack(mstate["t_ext"], k),
-            jnp.stack([x] * k),
-        )
-        f_flow = jax.jit(jax.vmap(flow_vg))
-        row["flow_vg_ms"] = 1e3 * timeit(
-            f_flow, stack(nf_params, k), jnp.stack([feat] * k)
-        )
-        rows[f"k{k}"] = {kk: round(v, 3) for kk, v in row.items()}
-        print(f"k={k}: {rows[f'k{k}']}", flush=True)
+    for impl in ("conv", "im2col"):
+        os.environ["FLSTTSC_CONV_IMPL"] = impl
+        for k in ks:
+            row = {}
+            f_ext = jax.jit(jax.vmap(ext_vg))
+            row["os_extractor_vg_ms"] = 1e3 * timeit(
+                f_ext, stack(params["t_ext"], k), stack(mstate["t_ext"], k),
+                jnp.stack([x] * k),
+            )
+            f_flow = jax.jit(jax.vmap(flow_vg))
+            row["flow_vg_ms"] = 1e3 * timeit(
+                f_flow, stack(nf_params, k), jnp.stack([feat] * k)
+            )
+            rows[f"{impl}_k{k}"] = {kk: round(v, 3) for kk, v in row.items()}
+            print(f"{impl} k={k}: {rows[f'{impl}_k{k}']}", flush=True)
 
-    if "k1" in rows and len(ks) > 1:
-        for k in ks[1:]:
-            rows[f"k{k}_per_run_slowdown"] = {
-                kk: round(rows[f"k{k}"][kk] / (k * rows["k1"][kk]), 2)
-                for kk in rows["k1"]
-            }
+    for impl in ("conv", "im2col"):
+        if f"{impl}_k1" in rows and len(ks) > 1:
+            for k in ks[1:]:
+                rows[f"{impl}_k{k}_per_run_slowdown"] = {
+                    kk: round(rows[f"{impl}_k{k}"][kk] / (k * rows[f"{impl}_k1"][kk]), 2)
+                    for kk in rows[f"{impl}_k1"]
+                }
     with open(RESULTS, "w") as f:
         json.dump(rows, f, indent=2)
     print(json.dumps(rows, indent=2))

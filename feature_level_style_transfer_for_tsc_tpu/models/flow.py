@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.coupling import affine_coupling_forward, affine_coupling_inverse
 from ..ops.gate import fused_add_tanh_sigmoid_multiply
+from ..ops.osconv import _conv_im2col, conv_impl, tap_conv
 from .common import conv1x1, weight_norm_init, weight_norm_weight
 
 
@@ -120,9 +121,26 @@ def wn_init(
 
 
 def _dilated_conv_same(x: jax.Array, w: jax.Array, bias: jax.Array, dilation: int) -> jax.Array:
-    """Kernel-3 dilated "same" conv, channel-last (reference :84-89 padding)."""
+    """Kernel-3 dilated "same" conv, channel-last (reference :84-89 padding).
+
+    Formulation switched by ops.osconv.conv_impl():
+      * "pallas" (default): ops.osconv.tap_conv — collapsed-batch rolled-
+        matmul Pallas kernel with a hand-written VJP; taps stay VMEM-
+        resident and vmapped per-run weights (train/multirun.py) remain
+        plain gemms (measured: results_vmap_flow_internals.json);
+      * "im2col": unfold + one dot_general (clean batched gemm under vmap,
+        but materializes the k-times-unfolded activations in HBM);
+      * "conv": the conv primitive — vmap lowers it to an MXU-hostile
+        grouped convolution."""
     k = w.shape[0]
     pad = (k * dilation - dilation) // 2
+    impl = conv_impl()
+    if impl == "pallas":
+        x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)])
+        return tap_conv(x_pad, w, dilation) + bias
+    if impl == "im2col":
+        x_pad = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)])
+        return _conv_im2col(x_pad, w, dilation) + bias
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -135,6 +153,16 @@ def _dilated_conv_same(x: jax.Array, w: jax.Array, bias: jax.Array, dilation: in
     return y + bias
 
 
+def wn_fused_enabled() -> bool:
+    """Use the single-kernel fused WN (ops/wn_fused.py) on the TPU f32 path.
+    The WN stack is the pipeline's hottest module and its XLA lowering is
+    per-op-overhead-bound (docs/DESIGN.md); the fused kernel executes all 8
+    layers in one pallas_call.  Read per call so tests/experiments can flip."""
+    import os
+
+    return os.environ.get("FLSTTSC_WN_FUSED", "1") not in ("0", "false", "False")
+
+
 def wn_apply(
     params: Dict, x: jax.Array, n_channels: int, dilated_conv=None
 ) -> jax.Array:
@@ -145,6 +173,11 @@ def wn_apply(
     this net over a time-sharded mesh axis.
     """
     if dilated_conv is None:
+        from ..ops import use_pallas
+        from ..ops.wn_fused import wn_apply_fused
+
+        if x.dtype == jnp.float32 and use_pallas() and wn_fused_enabled():
+            return wn_apply_fused(params, x, n_channels, weight_norm_weight)
         dilated_conv = _dilated_conv_same
     n_layers = len(params["in_layers"])
     audio = conv1x1(

@@ -85,7 +85,46 @@ def init_os_conv_params(key: jax.Array, layer_spec: LayerSpec, dtype=jnp.float32
     }
 
 
+def conv_impl() -> str:
+    """Which formulation the flow's dilated convs use: "pallas" (tap_conv —
+    collapsed-batch rolled-matmul kernel, hand-written VJP), "conv"
+    (conv_general_dilated), or "im2col" (static-slice unfold + ONE
+    dot_general).
+
+    All three are mathematically identical; they differ in lowering.  The
+    conv primitive under `jax.vmap` with a mapped (per-run) weight axis —
+    the train/multirun.py regime — lowers to a grouped convolution the TPU
+    backend serializes; im2col stays a clean batched gemm but materializes
+    the k-times-unfolded activations in HBM.  The Pallas tap kernel keeps
+    taps VMEM-resident and vmaps into one extra grid dimension (measured:
+    results_vmap_flow_internals.json).  Read per call (like use_pallas())
+    so experiments can flip it.
+    """
+    return os.environ.get("FLSTTSC_CONV_IMPL", "conv")
+
+
+def unfold1d(x_pad: jax.Array, k: int, dilation: int = 1) -> jax.Array:
+    """im2col for conv1d: (..., T_pad, C) -> (..., T_out, k, C) via k static
+    slices (their transpose under autodiff is k pad+adds — no scatter)."""
+    t_pad = x_pad.shape[-2]
+    t_out = t_pad - (k - 1) * dilation
+    cols = [
+        jax.lax.slice_in_dim(x_pad, j * dilation, j * dilation + t_out, axis=-2)
+        for j in range(k)
+    ]
+    return jnp.stack(cols, axis=-2)
+
+
+def _conv_im2col(x_pad: jax.Array, w: jax.Array, dilation: int = 1) -> jax.Array:
+    u = unfold1d(x_pad, w.shape[0], dilation)  # (..., T_out, k, C_in)
+    return jnp.einsum(
+        "...tki,kio->...to", u, w, preferred_element_type=x_pad.dtype
+    )
+
+
 def _conv_xla(x_pad: jax.Array, w: jax.Array) -> jax.Array:
+    if conv_impl() == "im2col":
+        return _conv_im2col(x_pad, w)
     return jax.lax.conv_general_dilated(
         x_pad,
         w,
@@ -94,6 +133,126 @@ def _conv_xla(x_pad: jax.Array, w: jax.Array) -> jax.Array:
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=x_pad.dtype,
     )
+
+
+# ------------------------------------------------------------- tap conv ---
+#
+# Kernel-k dilation-d conv as k "taps": y[t'] = sum_j x_pad[t' + j*d] @ w[j].
+# Built for the flow's WaveNet coupling convs (models/flow.py — kernel 3,
+# dilations 1..128), whose XLA lowering is HBM/overhead-bound at UCR shapes
+# and collapses under vmapped per-run weights (train/multirun.py):
+# results_vmap_flow_internals.json.
+#
+# TPU formulation: COLLAPSE the batch into the row axis — x2 = reshape(
+# (B, t_pad, C) -> (B*t_pad, C)) — so each tap is ONE (rows, C_in)x(C_in,
+# C_out) MXU matmul on a pltpu.roll'ed view.  A roll by j*d on the collapsed
+# matrix reads row (b, t'+j*d) for t'+j*d < t_pad and WRAPS into the next
+# element's head otherwise; wrapped rows land only at t' >= t_out =
+# t_pad - (k-1)*d, which the caller discards, so the collapse is EXACT.
+# The grid chunks whole batch elements (block = B_blk*t_pad rows) to respect
+# VMEM (~16 MB/core); wrap-at-block-boundary pollutes the same discarded
+# rows.  Under vmap the call gains a grid dim and per-run weights stay one
+# clean matmul per tap — no grouped conv.
+
+
+def _tap_conv_kernel(x_ref, w_ref, out_ref, *, k: int, dilation: int):
+    x = x_ref[...]
+    rows = x.shape[0]
+    acc = jnp.zeros((rows, out_ref.shape[-1]), jnp.float32)
+    for j in range(k):
+        xj = pltpu.roll(x, (rows - j * dilation) % rows, 0)
+        acc += jnp.dot(xj, w_ref[j], preferred_element_type=jnp.float32)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _tap_conv_pallas(x_pad: jax.Array, w: jax.Array, dilation: int) -> jax.Array:
+    """(B, t_pad, C_in), (k, C_in, C_out) -> (B, t_out, C_out)."""
+    b, t_pad, c_in = x_pad.shape
+    k, _, c_out = w.shape
+    t_out = t_pad - (k - 1) * dilation
+    # pad the time axis to a sublane multiple so the collapsed view reshapes
+    # cleanly; extra rows are beyond every kept t' (see note above)
+    t_pad8 = -(-t_pad // 8) * 8
+    if t_pad8 != t_pad:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, t_pad8 - t_pad), (0, 0)))
+    # largest whole-element chunk that keeps in+out blocks under ~4 MB
+    per_row = 4 * (c_in + c_out)
+    b_blk = max(1, min(b, (4 << 20) // max(per_row * t_pad8, 1)))
+    while b % b_blk:
+        b_blk -= 1
+    x2 = x_pad.reshape(b * t_pad8, c_in)
+    rows_blk = b_blk * t_pad8
+    kernel = functools.partial(_tap_conv_kernel, k=k, dilation=dilation)
+    y2 = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * t_pad8, c_out), x_pad.dtype),
+        grid=(b // b_blk,),
+        in_specs=[
+            pl.BlockSpec((rows_blk, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_blk, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=pallas_interpret(),
+    )(x2, w)
+    return y2.reshape(b, t_pad8, c_out)[:, :t_out]
+
+
+def _tap_conv_xla(x_pad: jax.Array, w: jax.Array, dilation: int) -> jax.Array:
+    if conv_impl() == "im2col":
+        return _conv_im2col(x_pad, w, dilation)
+    return jax.lax.conv_general_dilated(
+        x_pad,
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x_pad.dtype,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def tap_conv(x_pad: jax.Array, w: jax.Array, dilation: int) -> jax.Array:
+    """VALID dilated conv1d, channel-last, Pallas-first with a hand-written
+    vmap-friendly VJP (both directions stay tap convs / plain gemms — no
+    grouped-conv lowering under vmapped per-run weights)."""
+    if x_pad.dtype == jnp.float32 and use_pallas():
+        return _tap_conv_pallas(x_pad, w, dilation)
+    return _tap_conv_xla(x_pad, w, dilation)
+
+
+def _tap_conv_fwd(x_pad, w, dilation):
+    return tap_conv(x_pad, w, dilation), (x_pad, w)
+
+
+def _tap_conv_bwd(dilation, res, g):
+    x_pad, w = res
+    k = w.shape[0]
+    t_out = x_pad.shape[-2] - (k - 1) * dilation
+    # dx_pad[s] = sum_j g_full[s - j*d] @ w[j].T — the same tap conv on g
+    # padded by (k-1)*d each side with flipped, transposed taps
+    lp = (k - 1) * dilation
+    g_pad = jnp.pad(g, [(0, 0)] * (g.ndim - 2) + [(lp, lp), (0, 0)])
+    w_flip = jnp.flip(w, axis=0).swapaxes(-1, -2)
+    dx = tap_conv(g_pad, w_flip, dilation)
+    # dw[j] = x_pad[:, j*d : j*d + t_out].T @ g, contracted over (B, t)
+    bt = x_pad.shape[0] * t_out
+    dw = jnp.stack(
+        [
+            jnp.dot(
+                jax.lax.slice_in_dim(x_pad, j * dilation, j * dilation + t_out, axis=-2)
+                .reshape(bt, x_pad.shape[-1])
+                .T,
+                g.reshape(bt, g.shape[-1]),
+                preferred_element_type=jnp.float32,
+            ).astype(w.dtype)
+            for j in range(k)
+        ]
+    )
+    return dx, dw
+
+
+tap_conv.defvjp(_tap_conv_fwd, _tap_conv_bwd)
 
 
 def _os_conv_kernel(x_ref, w_ref, out_ref, *, k: int, t: int):

@@ -1,0 +1,396 @@
+"""Fused WaveNet coupling net (WN) — the flow's hot module as ONE kernel.
+
+`models/flow.py wn_apply` (reference Simplified_NF_WaveGlow.py:55-123) is a
+serial 8-layer stack of small ops: dilated conv3 -> +cond -> tanh*sigmoid
+gate -> res/skip 1x1 -> residual adds.  At UCR shapes each op is far too
+small for the TPU: measured per-op overhead is ~30-70 us and the XLA
+lowering holds ~10-14 TFLOP/s f32 (experiments/results_vmap_flow_internals
+.json + the device-loop gemm probes in docs/DESIGN.md), so the flow is the
+one module that scales LINEARLY with vmapped run count K
+(train/multirun.py) — it is compute/overhead-bound at K=1 already.
+
+This kernel executes the ENTIRE coupling net in one `pallas_call`:
+
+* the batch is COLLAPSED into the row axis — x2 = reshape((B, T, C) ->
+  (B*T, C)) — so every matmul is one (rows, C_in) x (C_in, C_out) MXU op;
+* each dilated conv3 is 3 taps: `pltpu.roll` by {+d, 0, -d} on the
+  collapsed matrix + per-tap masks (a (rows, 1) position vector compared
+  against d) that zero the rows where a roll crosses an element boundary —
+  exactly the "same"-padding semantics without materializing padding;
+* all 8 layers' weights, the cond projection, and the running audio/skip
+  accumulators stay VMEM-resident; activations touch HBM once on entry,
+  once on exit (plus per-layer audio residuals stored for the backward);
+* the grid chunks whole batch elements to respect VMEM (~16 MB/core);
+* the BACKWARD is a second hand-written kernel (reverse layer walk,
+  transposed masked taps, weight-grad accumulation across grid steps) —
+  under `jax.vmap` with per-run weights both kernels just gain a grid
+  dimension, so K independent runs stay K clean gemm streams instead of
+  XLA's serialized grouped convolutions.
+
+Layer-7 uniformity trick: the last res/skip layer (120 cols, all-skip) is
+embedded into cols [120:240) of a zero-padded (120, 240) weight so every
+layer runs `audio += rs[:, :C]; skip += rs[:, C:]` — the zero block makes
+the dead audio update a no-op.  The embedding happens OUTSIDE the kernel in
+differentiable jnp, so the custom VJP only handles stacked tensors.
+
+Assumes the reference WN geometry: kernel 3, dilation 2**i (layer i).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_interpret
+
+
+def _pick_b_blk(b: int, t: int, per_row_bytes: int, budget: int = 6 << 20) -> int:
+    """Largest divisor of b whose block fits the VMEM budget.  Mosaic
+    requires block rows divisible by 8 (sublanes) unless the block spans the
+    whole array, so only sublane-aligned chunkings qualify; if none exists
+    (tiny test batches) fall back to one full-array block."""
+    cap = max(1, budget // max(per_row_bytes * t, 1))
+    valid = [c for c in range(1, b + 1) if b % c == 0 and (c * t) % 8 == 0]
+    fitting = [c for c in valid if c <= cap]
+    if fitting:
+        return max(fitting)
+    if valid:
+        return min(valid)
+    return b  # block shape == array shape is always legal
+
+
+def _roll(x, shift):
+    rows = x.shape[0]
+    return pltpu.roll(x, shift % rows, 0)
+
+
+def _tap_sum(audio, w3, pos, t_len, dilation):
+    """sum of the 3 masked tap matmuls: y[t] = sum_o m_o(t) * audio[t+o] @ w_o
+    for offsets o in (-d, 0, +d).  `pos` is (rows, 1) int32 position-within-
+    element; masks zero rows whose read crosses an element boundary."""
+    rows = audio.shape[0]
+    # tap -d  (w3[0]): read audio[t - d], valid iff pos >= d
+    lo = jnp.where(pos >= dilation, 1.0, 0.0)
+    y = lo * jnp.dot(_roll(audio, dilation), w3[0], preferred_element_type=jnp.float32)
+    # tap 0 (w3[1])
+    y += jnp.dot(audio, w3[1], preferred_element_type=jnp.float32)
+    # tap +d (w3[2]): read audio[t + d], valid iff pos < t_len - d
+    hi = jnp.where(pos < t_len - dilation, 1.0, 0.0)
+    y += hi * jnp.dot(_roll(audio, rows - dilation), w3[2], preferred_element_type=jnp.float32)
+    return y
+
+
+def _tap_sum_t(g, w3, pos, t_len, dilation):
+    """Transpose of _tap_sum wrt audio: g_audio[u] = sum_o m_o(u - o) *
+    g[u - o] @ w_o.T — mask at the SOURCE row, then roll by the offset."""
+    rows = g.shape[0]
+    lo = jnp.where(pos >= dilation, 1.0, 0.0)
+    hi = jnp.where(pos < t_len - dilation, 1.0, 0.0)
+    ga = _roll(
+        jnp.dot(lo * g, w3[0].T, preferred_element_type=jnp.float32), rows - dilation
+    )
+    ga += jnp.dot(g, w3[1].T, preferred_element_type=jnp.float32)
+    ga += _roll(
+        jnp.dot(hi * g, w3[2].T, preferred_element_type=jnp.float32), dilation
+    )
+    return ga
+
+
+def _wn_fwd_kernel(
+    x_ref, pos_ref, ws_ref, bs_ref, wc_ref, bc_ref, wi_ref, bi_ref,
+    wr_ref, br_ref, we_ref, be_ref, y_ref, aud_ref, skip_ref, *, t_len: int
+):
+    n_layers = wi_ref.shape[0]
+    c = wi_ref.shape[2]
+    x = x_ref[...]
+    pos = pos_ref[...]
+    audio = jnp.dot(x, ws_ref[...], preferred_element_type=jnp.float32) + bs_ref[...]
+    output = jnp.zeros((x.shape[0], c), jnp.float32)
+    for i in range(n_layers):
+        aud_ref[i] = audio
+        spect = (
+            jnp.dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], preferred_element_type=jnp.float32)
+            + bc_ref[:, 2 * c * i : 2 * c * (i + 1)]
+        )
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i) + bi_ref[i] + spect
+        acts = jnp.tanh(z[:, :c]) * jax.nn.sigmoid(z[:, c:])
+        rs = jnp.dot(acts, wr_ref[i], preferred_element_type=jnp.float32) + br_ref[i]
+        audio = audio + rs[:, :c]
+        output = output + rs[:, c:]
+    skip_ref[...] = output
+    y_ref[...] = jnp.dot(output, we_ref[...], preferred_element_type=jnp.float32) + be_ref[...]
+
+
+def _wn_bwd_kernel(
+    blk_ref, x_ref, pos_ref, ws_ref, wc_ref, wi_ref, bi_ref, wr_ref, we_ref,
+    aud_ref, g_ref,
+    gx_ref, gws_ref, gbs_ref, gwc_ref, gwi_ref, gbi_ref,
+    gwr_ref, gbr_ref, *, t_len: int
+):
+    """Reverse layer walk.  Weight-grad outputs use CONSTANT index maps and
+    accumulate across the sequential grid; the zero-init fires on the first
+    batch block, identified by `blk_ref` — an SMEM scalar carrying the block
+    index as DATA, which (unlike `pl.program_id(0)`) stays correct when
+    `jax.vmap` prepends a grid dimension.  The end-projection grads (gwe/gbe
+    from the skip residual) and the cond-bias grad (== gbi) are computed
+    OUTSIDE in plain XLA to stay under the VMEM stack limit."""
+    n_layers = wi_ref.shape[0]
+    c = wi_ref.shape[2]
+
+    @pl.when(blk_ref[0, 0] == 0)
+    def _init():
+        gws_ref[...] = jnp.zeros_like(gws_ref)
+        gbs_ref[...] = jnp.zeros_like(gbs_ref)
+        gwc_ref[...] = jnp.zeros_like(gwc_ref)
+        gwi_ref[...] = jnp.zeros_like(gwi_ref)
+        gbi_ref[...] = jnp.zeros_like(gbi_ref)
+        gwr_ref[...] = jnp.zeros_like(gwr_ref)
+        gbr_ref[...] = jnp.zeros_like(gbr_ref)
+
+    x = x_ref[...]
+    pos = pos_ref[...]
+    g_y = g_ref[...]
+
+    g_skip = jnp.dot(g_y, we_ref[...].T, preferred_element_type=jnp.float32)
+
+    g_audio = jnp.zeros((x.shape[0], c), jnp.float32)
+    g_x = jnp.zeros_like(x)
+    for i in range(n_layers - 1, -1, -1):
+        audio = aud_ref[i]
+        # recompute the gate pre-activation (bi_ref carries b_in + the cond
+        # bias slice pre-summed by the caller, matching the fwd's z)
+        spect = jnp.dot(
+            x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], preferred_element_type=jnp.float32
+        )
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i) + bi_ref[i] + spect
+        tt = jnp.tanh(z[:, :c])
+        ss = jax.nn.sigmoid(z[:, c:])
+        acts = tt * ss
+        g_rs = jnp.concatenate([g_audio, g_skip], axis=1)
+        gwr_ref[i] += jnp.dot(acts.T, g_rs, preferred_element_type=jnp.float32)
+        gbr_ref[i] += jnp.sum(g_rs, axis=0, keepdims=True)[0]
+        g_acts = jnp.dot(g_rs, wr_ref[i].T, preferred_element_type=jnp.float32)
+        g_z = jnp.concatenate(
+            [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)], axis=1
+        )
+        # conv taps: dw[o] = (masked rolled audio).T @ g_z
+        rows = audio.shape[0]
+        lo = jnp.where(pos >= 2 ** i, 1.0, 0.0)
+        hi = jnp.where(pos < t_len - 2 ** i, 1.0, 0.0)
+        gwi_ref[i, 0] += jnp.dot(
+            _roll(audio, 2 ** i).T, lo * g_z, preferred_element_type=jnp.float32
+        )
+        gwi_ref[i, 1] += jnp.dot(audio.T, g_z, preferred_element_type=jnp.float32)
+        gwi_ref[i, 2] += jnp.dot(
+            _roll(audio, rows - 2 ** i).T, hi * g_z, preferred_element_type=jnp.float32
+        )
+        gbi_ref[i] += jnp.sum(g_z, axis=0, keepdims=True)[0]
+        # cond projection grads
+        gwc_ref[:, 2 * c * i : 2 * c * (i + 1)] += jnp.dot(
+            x.T, g_z, preferred_element_type=jnp.float32
+        )
+        g_x += jnp.dot(
+            g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, preferred_element_type=jnp.float32
+        )
+        # through the conv to the layer input (+ residual passthrough)
+        g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i)
+    gws_ref[...] += jnp.dot(x.T, g_audio, preferred_element_type=jnp.float32)
+    gbs_ref[...] += jnp.sum(g_audio, axis=0, keepdims=True)
+    gx_ref[...] = g_x + jnp.dot(g_audio, ws_ref[...].T, preferred_element_type=jnp.float32)
+
+
+def _stack_effective(params, weight_norm_weight):
+    """Effective (post weight-norm) tensors, stacked with the layer-7
+    embedding.  Differentiable jnp — autodiff carries grads back to v/g."""
+    n_layers = len(params["in_layers"])
+    c = params["start"]["v"].shape[-1]
+    w_start = weight_norm_weight(params["start"])[0]
+    w_cond = weight_norm_weight(params["cond"])[0]
+    w_in = jnp.stack([weight_norm_weight(p) for p in params["in_layers"]])
+    b_in = jnp.stack([p["bias"] for p in params["in_layers"]])
+    rs_w, rs_b = [], []
+    for i, p in enumerate(params["res_skip_layers"]):
+        w = weight_norm_weight(p)[0]
+        b = p["bias"]
+        if i == n_layers - 1:  # all-skip layer -> cols [c:2c), zero audio block
+            w = jnp.concatenate([jnp.zeros((c, c), w.dtype), w], axis=1)
+            b = jnp.concatenate([jnp.zeros((c,), b.dtype), b])
+        rs_w.append(w)
+        rs_b.append(b)
+    return (
+        w_start, params["start"]["bias"],
+        w_cond, params["cond"]["bias"],
+        w_in, b_in,
+        jnp.stack(rs_w), jnp.stack(rs_b),
+        params["end"]["weight"], params["end"]["bias"],
+    )
+
+
+@jax.custom_vjp
+def _wn_core(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
+    y, _, _ = _wn_core_fwd_impl(
+        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
+    )
+    return y
+
+
+def _wn_core_fwd_impl(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
+    b, t, n_half = x.shape
+    n_layers, _, c, _ = w_in.shape
+    # pad T to a sublane multiple so any whole-element chunking yields a
+    # legal (8-divisible) block row count.  The position masks treat pad
+    # rows as out-of-range for every tap, so they contribute nothing to
+    # valid rows in either direction (and the output slice drops them).
+    t8 = -(-t // 8) * 8
+    if t8 != t:
+        x = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
+    rows = b * t8
+    x2 = x.reshape(rows, n_half)
+    pos = jnp.tile(jnp.arange(t8, dtype=jnp.int32), b).reshape(rows, 1)
+    # per-row VMEM: x, pos, audio, z/gate temps, skip, y, + the per-layer
+    # audio residual slab (n_layers * c); the kernel's unrolled 8-layer
+    # loop holds several live temps per layer, so keep blocks small
+    per_row = 4 * (n_half + 1 + c + 3 * 2 * c + c + 2 * n_half + n_layers * c)
+    b_blk = _pick_b_blk(b, t8, per_row, budget=2 << 20)
+    rows_blk = b_blk * t8
+    grid = (b // b_blk,)
+    kernel = functools.partial(_wn_fwd_kernel, t_len=t)
+    y2, aud, skip = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 2 * n_half), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, rows, c), jnp.float32),
+            jax.ShapeDtypeStruct((rows, c), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 3, c, 2 * c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, c, 2 * c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * n_half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * n_half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_blk, 2 * n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, rows_blk, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        x2, pos, w_start, b_start[None], w_cond, b_cond[None],
+        w_in, b_in, w_rs, b_rs, w_end, b_end[None],
+    )
+    return y2.reshape(b, t8, 2 * n_half)[:, :t], aud, skip
+
+
+def _wn_core_fwd(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
+    y, aud, skip = _wn_core_fwd_impl(
+        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
+    )
+    res = (x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud, skip)
+    return y, res
+
+
+def _wn_core_bwd(res, g):
+    x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud, skip = res
+    b, t, n_half = x.shape
+    n_layers, _, c, _ = w_in.shape
+    t8 = -(-t // 8) * 8
+    if t8 != t:
+        x = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, t8 - t), (0, 0)))
+    rows = b * t8
+    x2 = x.reshape(rows, n_half)
+    g2 = g.reshape(rows, 2 * n_half).astype(jnp.float32)
+    pos = jnp.tile(jnp.arange(t8, dtype=jnp.int32), b).reshape(rows, 1)
+    per_row = 4 * (
+        n_half + 1 + 4 * 2 * c + 3 * c + 2 * 2 * n_half + n_layers * c
+    )
+    b_blk = _pick_b_blk(b, t8, per_row, budget=2 << 20)
+    rows_blk = b_blk * t8
+    nb = b // b_blk
+    grid = (nb,)
+    # the bwd kernel recomputes z from aud; fold the cond bias into b_in so
+    # the recompute matches the fwd (which adds it inside spect)
+    b_in_eff = b_in + b_cond.reshape(n_layers, 2 * c)
+    kernel = functools.partial(_wn_bwd_kernel, t_len=t)
+    # (nb*8, 1) with (8, 1) blocks: the smallest SMEM shape Mosaic's
+    # block-divisibility rules admit for a per-grid-step scalar
+    blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), 8).reshape(nb * 8, 1)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, n_half), jnp.float32),        # gx
+            jax.ShapeDtypeStruct((n_half, c), jnp.float32),           # gws
+            jax.ShapeDtypeStruct((1, c), jnp.float32),                # gbs
+            jax.ShapeDtypeStruct((n_half, 2 * c * n_layers), jnp.float32),  # gwc
+            jax.ShapeDtypeStruct((n_layers, 3, c, 2 * c), jnp.float32),     # gwi
+            jax.ShapeDtypeStruct((n_layers, 2 * c), jnp.float32),     # gbi
+            jax.ShapeDtypeStruct((n_layers, c, 2 * c), jnp.float32),  # gwr
+            jax.ShapeDtypeStruct((n_layers, 2 * c), jnp.float32),     # gbr
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 3, c, 2 * c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, c, 2 * c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * n_half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, rows_blk, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, 2 * n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 3, c, 2 * c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, c, 2 * c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(blk, x2, pos, w_start, w_cond, w_in, b_in_eff, w_rs, w_end, aud, g2)
+    gx, gws, gbs, gwc, gwi, gbi, gwr, gbr = outs
+    # end-projection grads from the skip residual — ONE clean gemm each,
+    # done outside the kernel to stay under the VMEM stack limit
+    gwe = jnp.dot(skip.T, g2, preferred_element_type=jnp.float32)
+    gbe = jnp.sum(g2, axis=0)
+    # gbi is d/d(b_in) AND d/d(b_cond): b_in_eff = b_in + b_cond folds them
+    # and both receive the same g_z sum per layer
+    gbc = gbi.reshape(n_layers * 2 * c)
+    return (
+        gx.reshape(b, t8, n_half)[:, :t],
+        gws, gbs[0], gwc, gbc,
+        gwi, gbi, gwr, gbr,
+        gwe, gbe,
+    )
+
+
+_wn_core.defvjp(_wn_core_fwd, _wn_core_bwd)
+
+
+def wn_apply_fused(params, x, n_channels: int, weight_norm_weight) -> jax.Array:
+    """Drop-in fused replacement for models.flow.wn_apply (TPU, f32,
+    reference geometry: kernel 3, dilation 2**i)."""
+    del n_channels  # implied by the param shapes
+    eff = _stack_effective(params, weight_norm_weight)
+    return _wn_core(x.astype(jnp.float32), *eff)

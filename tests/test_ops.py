@@ -160,3 +160,194 @@ def test_fused_infer_layer_matches_unfused(monkeypatch):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
         # eval mode: stats unchanged
         np.testing.assert_array_equal(np.asarray(st1["bn"].mean), np.asarray(st0["bn"].mean))
+
+
+def test_im2col_conv_matches_conv_primitive(monkeypatch):
+    """The two conv_impl() formulations (ops/osconv.py) agree in value and
+    grad — valid conv, dilated 'same' conv, and under vmap with per-run
+    weights (the train/multirun.py regime the im2col path exists for)."""
+    from feature_level_style_transfer_for_tsc_tpu.models.flow import _dilated_conv_same
+    from feature_level_style_transfer_for_tsc_tpu.ops.osconv import _conv_im2col
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 30, 5))
+    w = jax.random.normal(jax.random.PRNGKey(1), (7, 5, 11))
+    monkeypatch.setenv("FLSTTSC_CONV_IMPL", "conv")
+    np.testing.assert_allclose(
+        _conv_im2col(x, w), _conv_xla(x, w), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(impl, fn, *args):
+        monkeypatch.setenv("FLSTTSC_CONV_IMPL", impl)
+        return jax.grad(lambda *a: jnp.sum(jnp.sin(fn(*a))), argnums=(0, 1))(*args)
+
+    for ga, gb in zip(loss("conv", _conv_xla, x, w), loss("im2col", _conv_xla, x, w)):
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-4)
+
+    xd = jax.random.normal(key, (4, 30, 6))
+    wd = jax.random.normal(key, (3, 6, 12))
+    b0 = jnp.zeros((12,))
+    for dil in (1, 2, 8):
+        monkeypatch.setenv("FLSTTSC_CONV_IMPL", "conv")
+        want = _dilated_conv_same(xd, wd, b0, dil)
+        monkeypatch.setenv("FLSTTSC_CONV_IMPL", "im2col")
+        np.testing.assert_allclose(
+            _dilated_conv_same(xd, wd, b0, dil), want, rtol=1e-5, atol=1e-5
+        )
+
+    # vmapped with per-run weights: one batched dot_general, same numbers
+    xv = jnp.stack([x, x + 0.5])
+    wv = jnp.stack([w, w * 0.5])
+    got = jax.vmap(_conv_im2col)(xv, wv)
+    monkeypatch.setenv("FLSTTSC_CONV_IMPL", "conv")
+    want = jax.vmap(_conv_xla)(xv, wv)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_tap_conv_matches_xla(monkeypatch, pallas):
+    """ops.osconv.tap_conv (collapsed-batch rolled-matmul dilated conv with
+    hand-written VJP) matches the XLA dilated conv in value and both grads,
+    per dilation and under vmap with per-run weights."""
+    from feature_level_style_transfer_for_tsc_tpu.ops.osconv import (
+        _tap_conv_xla,
+        tap_conv,
+    )
+
+    if pallas:
+        monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1")
+        monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+    else:
+        monkeypatch.setenv("FLSTTSC_USE_PALLAS", "0")
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (5, 150, 12))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 12, 24))
+    for d in (1, 4, 128):
+        xp = jnp.pad(x, ((0, 0), (d, d), (0, 0)))
+        want = _tap_conv_xla(xp, w, d)
+        np.testing.assert_allclose(tap_conv(xp, w, d), want, rtol=1e-4, atol=1e-4)
+        gx, gw = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(tap_conv(a, b, d))), argnums=(0, 1)
+        )(xp, w)
+        hx, hw = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(_tap_conv_xla(a, b, d))), argnums=(0, 1)
+        )(xp, w)
+        np.testing.assert_allclose(gx, hx, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gw, hw, rtol=1e-4, atol=1e-4)
+
+    # vmap with per-run weights (the train/multirun.py regime)
+    d = 4
+    xv = jnp.pad(jnp.stack([x, x + 0.5]), ((0, 0), (0, 0), (d, d), (0, 0)))
+    wv = jnp.stack([w, w * 0.5])
+    got = jax.vmap(lambda a, b: tap_conv(a, b, d))(xv, wv)
+    want = jax.vmap(lambda a, b: _tap_conv_xla(a, b, d))(xv, wv)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    gv = jax.grad(
+        lambda a, b: jnp.sum(jnp.sin(jax.vmap(lambda q, r: tap_conv(q, r, d))(a, b))),
+        argnums=(0, 1),
+    )(xv, wv)
+    hv = jax.grad(
+        lambda a, b: jnp.sum(
+            jnp.sin(jax.vmap(lambda q, r: _tap_conv_xla(q, r, d))(a, b))
+        ),
+        argnums=(0, 1),
+    )(xv, wv)
+    for a, b in zip(gv, hv):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_flow_conv_impl_pallas_matches(monkeypatch):
+    """flow._dilated_conv_same under FLSTTSC_CONV_IMPL=pallas equals the conv
+    primitive path (XLA fallback on CPU; the kernel itself is covered by
+    test_tap_conv_matches_xla in interpret mode)."""
+    from feature_level_style_transfer_for_tsc_tpu.models.flow import _dilated_conv_same
+
+    key = jax.random.PRNGKey(0)
+    xd = jax.random.normal(key, (4, 30, 6))
+    wd = jax.random.normal(key, (3, 6, 12))
+    b0 = jnp.ones((12,)) * 0.3
+    for dil in (1, 2, 8):
+        monkeypatch.setenv("FLSTTSC_CONV_IMPL", "conv")
+        want = _dilated_conv_same(xd, wd, b0, dil)
+        monkeypatch.setenv("FLSTTSC_CONV_IMPL", "pallas")
+        np.testing.assert_allclose(
+            _dilated_conv_same(xd, wd, b0, dil), want, rtol=1e-5, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("shape", [(4, 150, 65), (2, 96, 33), (3, 40, 8)])
+def test_wn_fused_matches_wn_apply(monkeypatch, shape):
+    """ops/wn_fused.py (single-kernel coupling net, hand-written VJP) matches
+    models.flow.wn_apply in value, input grad, and every param grad —
+    interpret mode, incl. non-sublane-aligned T and vmapped per-run params."""
+    from feature_level_style_transfer_for_tsc_tpu.models import flow as F
+    from feature_level_style_transfer_for_tsc_tpu.models.common import (
+        weight_norm_weight,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.ops.wn_fused import wn_apply_fused
+
+    monkeypatch.setenv("FLSTTSC_USE_PALLAS", "0")  # reference path = pure XLA
+    monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+    b, t, n_half = shape
+    c = 48
+    params = F.wn_init(jax.random.PRNGKey(0), n_half, 8, c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, n_half))
+
+    want = F.wn_apply(params, x, c)
+    got = wn_apply_fused(params, x, c, weight_norm_weight)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    gr = jax.grad(lambda p, xx: jnp.sum(jnp.sin(F.wn_apply(p, xx, c))), argnums=(0, 1))(
+        params, x
+    )
+    gf = jax.grad(
+        lambda p, xx: jnp.sum(jnp.sin(wn_apply_fused(p, xx, c, weight_norm_weight))),
+        argnums=(0, 1),
+    )(params, x)
+    np.testing.assert_allclose(gf[1], gr[1], rtol=5e-4, atol=5e-4)
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(gr[0])[0],
+        jax.tree_util.tree_flatten_with_path(gf[0])[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))
+
+
+def test_wn_fused_vmap_per_run_params(monkeypatch):
+    """Vmapped wn_apply_fused with stacked per-run params (the
+    train/multirun.py regime) equals per-run sequential application."""
+    from feature_level_style_transfer_for_tsc_tpu.models import flow as F
+    from feature_level_style_transfer_for_tsc_tpu.models.common import (
+        weight_norm_weight,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.ops.wn_fused import wn_apply_fused
+
+    monkeypatch.setenv("FLSTTSC_USE_PALLAS", "0")
+    monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+    n_half, c, k = 17, 32, 3
+    ps = [F.wn_init(jax.random.PRNGKey(i), n_half, 8, c) for i in range(k)]
+    pk = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *ps)
+    xs = jax.random.normal(jax.random.PRNGKey(9), (k, 2, 50, n_half))
+
+    got = jax.vmap(lambda p, x: wn_apply_fused(p, x, c, weight_norm_weight))(pk, xs)
+    for i in range(k):
+        want = F.wn_apply(ps[i], xs[i], c)
+        np.testing.assert_allclose(got[i], want, rtol=3e-4, atol=3e-4)
+
+    # grads flow through the vmapped custom VJP
+    def loss(p, x):
+        y = jax.vmap(lambda pp, xx: wn_apply_fused(pp, xx, c, weight_norm_weight))(p, x)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(p, x):
+        y = jax.vmap(lambda pp, xx: F.wn_apply(pp, xx, c))(p, x)
+        return jnp.sum(jnp.sin(y))
+
+    gf = jax.grad(loss)(pk, xs)
+    gr = jax.grad(loss_ref)(pk, xs)
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(gr)[0],
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+    ):
+        np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))

@@ -123,11 +123,11 @@ def wn_init(
 def _dilated_conv_same(x: jax.Array, w: jax.Array, bias: jax.Array, dilation: int) -> jax.Array:
     """Kernel-3 dilated "same" conv, channel-last (reference :84-89 padding).
 
-    Formulation switched by ops.osconv.conv_impl():
-      * "pallas" (default): ops.osconv.tap_conv — collapsed-batch rolled-
-        matmul Pallas kernel with a hand-written VJP; taps stay VMEM-
-        resident and vmapped per-run weights (train/multirun.py) remain
-        plain gemms (measured: results_vmap_flow_internals.json);
+    Formulation switched by ops.osconv.conv_impl() (default "conv" — all
+    three measured within noise of each other per-layer, docs/DESIGN.md;
+    the real fix is the fused whole-net kernel, ops/wn_fused.py):
+      * "pallas": ops.osconv.tap_conv — collapsed-batch rolled-matmul
+        Pallas kernel with a hand-written VJP;
       * "im2col": unfold + one dot_general (clean batched gemm under vmap,
         but materializes the k-times-unfolded activations in HBM);
       * "conv": the conv primitive — vmap lowers it to an MXU-hostile
@@ -176,7 +176,12 @@ def wn_apply(
         from ..ops import use_pallas
         from ..ops.wn_fused import wn_apply_fused
 
-        if x.dtype == jnp.float32 and use_pallas() and wn_fused_enabled():
+        if (
+            x.dtype == jnp.float32
+            and use_pallas()
+            and wn_fused_enabled()
+            and params["in_layers"][0]["v"].shape[0] == 3  # kernel-3 geometry
+        ):
             return wn_apply_fused(params, x, n_channels, weight_norm_weight)
         dilated_conv = _dilated_conv_same
     n_layers = len(params["in_layers"])

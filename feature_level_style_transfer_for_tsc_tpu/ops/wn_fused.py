@@ -48,6 +48,43 @@ from jax.experimental.pallas import tpu as pltpu
 from . import pallas_interpret
 
 
+def _blk_budget() -> int:
+    """VMEM bytes the batch-block chunking may assume (FLSTTSC_WN_VMEM_MB).
+
+    Bigger blocks mean fewer, larger MXU gemms per grid step — the kernel's
+    throughput lever.  Measured on the v5e with numerics validated against
+    the unfused path at every point (docs/DESIGN.md "fused-WN block budget"):
+    2 MB picks b_blk=1 (152-row gemms) and is the slow floor; 8 MB cuts the
+    K=8 value+grad 25.5 -> 19.7 ms and matches 16 MB within noise.  8 is the
+    default because it is the largest budget validated BOTH under vmap and
+    unvmapped: the 16 MB unvmapped geometry (b_blk=10 fwd / 5 bwd at B=40)
+    hung the device outright (chip required external reset), and the 32 MB
+    timings recorded before that hang are untrustworthy.  Raise with care."""
+    import os
+
+    return int(os.environ.get("FLSTTSC_WN_VMEM_MB", "8")) << 20
+
+
+def _mxu_bf16() -> bool:
+    """Feed the kernel's matmuls bf16 OPERANDS (f32 accumulate) when
+    FLSTTSC_WN_MXU=bf16.  The fused kernel is MXU-bound at K>=8 (measured
+    ~39 TFLOP/s f32 fwd ~= 80% of the v5e's f32 matmul rate, docs/DESIGN.md),
+    and the v5e MXU multiplies bf16 natively ~8x faster than the decomposed
+    f32 path — this is the remaining throughput lever for vmapped multi-run
+    training.  Residual/gate arithmetic and all accumulators stay f32.
+    Default OFF: the f32 path is the reference-parity path."""
+    import os
+
+    return os.environ.get("FLSTTSC_WN_MXU", "f32") == "bf16"
+
+
+def _dot(a, b, bf16: bool):
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _pick_b_blk(b: int, t: int, per_row_bytes: int, budget: int = 6 << 20) -> int:
     """Largest divisor of b whose block fits the VMEM budget.  Mosaic
     requires block rows divisible by 8 (sublanes) unless the block spans the
@@ -68,68 +105,69 @@ def _roll(x, shift):
     return pltpu.roll(x, shift % rows, 0)
 
 
-def _tap_sum(audio, w3, pos, t_len, dilation):
+def _tap_sum(audio, w3, pos, t_len, dilation, bf16=False):
     """sum of the 3 masked tap matmuls: y[t] = sum_o m_o(t) * audio[t+o] @ w_o
     for offsets o in (-d, 0, +d).  `pos` is (rows, 1) int32 position-within-
     element; masks zero rows whose read crosses an element boundary."""
     rows = audio.shape[0]
     # tap -d  (w3[0]): read audio[t - d], valid iff pos >= d
     lo = jnp.where(pos >= dilation, 1.0, 0.0)
-    y = lo * jnp.dot(_roll(audio, dilation), w3[0], preferred_element_type=jnp.float32)
+    y = lo * _dot(_roll(audio, dilation), w3[0], bf16)
     # tap 0 (w3[1])
-    y += jnp.dot(audio, w3[1], preferred_element_type=jnp.float32)
+    y += _dot(audio, w3[1], bf16)
     # tap +d (w3[2]): read audio[t + d], valid iff pos < t_len - d
     hi = jnp.where(pos < t_len - dilation, 1.0, 0.0)
-    y += hi * jnp.dot(_roll(audio, rows - dilation), w3[2], preferred_element_type=jnp.float32)
+    y += hi * _dot(_roll(audio, rows - dilation), w3[2], bf16)
     return y
 
 
-def _tap_sum_t(g, w3, pos, t_len, dilation):
+def _tap_sum_t(g, w3, pos, t_len, dilation, bf16=False):
     """Transpose of _tap_sum wrt audio: g_audio[u] = sum_o m_o(u - o) *
     g[u - o] @ w_o.T — mask at the SOURCE row, then roll by the offset."""
     rows = g.shape[0]
     lo = jnp.where(pos >= dilation, 1.0, 0.0)
     hi = jnp.where(pos < t_len - dilation, 1.0, 0.0)
     ga = _roll(
-        jnp.dot(lo * g, w3[0].T, preferred_element_type=jnp.float32), rows - dilation
+        _dot(lo * g, w3[0].T, bf16), rows - dilation
     )
-    ga += jnp.dot(g, w3[1].T, preferred_element_type=jnp.float32)
+    ga += _dot(g, w3[1].T, bf16)
     ga += _roll(
-        jnp.dot(hi * g, w3[2].T, preferred_element_type=jnp.float32), dilation
+        _dot(hi * g, w3[2].T, bf16), dilation
     )
     return ga
 
 
 def _wn_fwd_kernel(
     x_ref, pos_ref, ws_ref, bs_ref, wc_ref, bc_ref, wi_ref, bi_ref,
-    wr_ref, br_ref, we_ref, be_ref, y_ref, aud_ref, skip_ref, *, t_len: int
+    wr_ref, br_ref, we_ref, be_ref, y_ref, aud_ref, skip_ref, *, t_len: int,
+    bf16: bool = False,
 ):
     n_layers = wi_ref.shape[0]
     c = wi_ref.shape[2]
     x = x_ref[...]
     pos = pos_ref[...]
-    audio = jnp.dot(x, ws_ref[...], preferred_element_type=jnp.float32) + bs_ref[...]
+    audio = _dot(x, ws_ref[...], bf16) + bs_ref[...]
     output = jnp.zeros((x.shape[0], c), jnp.float32)
     for i in range(n_layers):
         aud_ref[i] = audio
         spect = (
-            jnp.dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], preferred_element_type=jnp.float32)
+            _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
             + bc_ref[:, 2 * c * i : 2 * c * (i + 1)]
         )
-        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i) + bi_ref[i] + spect
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16) + bi_ref[i] + spect
         acts = jnp.tanh(z[:, :c]) * jax.nn.sigmoid(z[:, c:])
-        rs = jnp.dot(acts, wr_ref[i], preferred_element_type=jnp.float32) + br_ref[i]
+        rs = _dot(acts, wr_ref[i], bf16) + br_ref[i]
         audio = audio + rs[:, :c]
         output = output + rs[:, c:]
     skip_ref[...] = output
-    y_ref[...] = jnp.dot(output, we_ref[...], preferred_element_type=jnp.float32) + be_ref[...]
+    y_ref[...] = _dot(output, we_ref[...], bf16) + be_ref[...]
 
 
 def _wn_bwd_kernel(
     blk_ref, x_ref, pos_ref, ws_ref, wc_ref, wi_ref, bi_ref, wr_ref, we_ref,
     aud_ref, g_ref,
     gx_ref, gws_ref, gbs_ref, gwc_ref, gwi_ref, gbi_ref,
-    gwr_ref, gbr_ref, *, t_len: int
+    gwr_ref, gbr_ref, *, t_len: int, bf16: bool = False
 ):
     """Reverse layer walk.  Weight-grad outputs use CONSTANT index maps and
     accumulate across the sequential grid; the zero-init fires on the first
@@ -155,7 +193,7 @@ def _wn_bwd_kernel(
     pos = pos_ref[...]
     g_y = g_ref[...]
 
-    g_skip = jnp.dot(g_y, we_ref[...].T, preferred_element_type=jnp.float32)
+    g_skip = _dot(g_y, we_ref[...].T, bf16)
 
     g_audio = jnp.zeros((x.shape[0], c), jnp.float32)
     g_x = jnp.zeros_like(x)
@@ -163,17 +201,15 @@ def _wn_bwd_kernel(
         audio = aud_ref[i]
         # recompute the gate pre-activation (bi_ref carries b_in + the cond
         # bias slice pre-summed by the caller, matching the fwd's z)
-        spect = jnp.dot(
-            x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], preferred_element_type=jnp.float32
-        )
-        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i) + bi_ref[i] + spect
+        spect = _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16) + bi_ref[i] + spect
         tt = jnp.tanh(z[:, :c])
         ss = jax.nn.sigmoid(z[:, c:])
         acts = tt * ss
         g_rs = jnp.concatenate([g_audio, g_skip], axis=1)
-        gwr_ref[i] += jnp.dot(acts.T, g_rs, preferred_element_type=jnp.float32)
+        gwr_ref[i] += _dot(acts.T, g_rs, bf16)
         gbr_ref[i] += jnp.sum(g_rs, axis=0, keepdims=True)[0]
-        g_acts = jnp.dot(g_rs, wr_ref[i].T, preferred_element_type=jnp.float32)
+        g_acts = _dot(g_rs, wr_ref[i].T, bf16)
         g_z = jnp.concatenate(
             [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)], axis=1
         )
@@ -181,26 +217,18 @@ def _wn_bwd_kernel(
         rows = audio.shape[0]
         lo = jnp.where(pos >= 2 ** i, 1.0, 0.0)
         hi = jnp.where(pos < t_len - 2 ** i, 1.0, 0.0)
-        gwi_ref[i, 0] += jnp.dot(
-            _roll(audio, 2 ** i).T, lo * g_z, preferred_element_type=jnp.float32
-        )
-        gwi_ref[i, 1] += jnp.dot(audio.T, g_z, preferred_element_type=jnp.float32)
-        gwi_ref[i, 2] += jnp.dot(
-            _roll(audio, rows - 2 ** i).T, hi * g_z, preferred_element_type=jnp.float32
-        )
+        gwi_ref[i, 0] += _dot(_roll(audio, 2 ** i).T, lo * g_z, bf16)
+        gwi_ref[i, 1] += _dot(audio.T, g_z, bf16)
+        gwi_ref[i, 2] += _dot(_roll(audio, rows - 2 ** i).T, hi * g_z, bf16)
         gbi_ref[i] += jnp.sum(g_z, axis=0, keepdims=True)[0]
         # cond projection grads
-        gwc_ref[:, 2 * c * i : 2 * c * (i + 1)] += jnp.dot(
-            x.T, g_z, preferred_element_type=jnp.float32
-        )
-        g_x += jnp.dot(
-            g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, preferred_element_type=jnp.float32
-        )
+        gwc_ref[:, 2 * c * i : 2 * c * (i + 1)] += _dot(x.T, g_z, bf16)
+        g_x += _dot(g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, bf16)
         # through the conv to the layer input (+ residual passthrough)
-        g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i)
-    gws_ref[...] += jnp.dot(x.T, g_audio, preferred_element_type=jnp.float32)
+        g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i, bf16)
+    gws_ref[...] += _dot(x.T, g_audio, bf16)
     gbs_ref[...] += jnp.sum(g_audio, axis=0, keepdims=True)
-    gx_ref[...] = g_x + jnp.dot(g_audio, ws_ref[...].T, preferred_element_type=jnp.float32)
+    gx_ref[...] = g_x + _dot(g_audio, ws_ref[...].T, bf16)
 
 
 def _stack_effective(params, weight_norm_weight):
@@ -255,10 +283,10 @@ def _wn_core_fwd_impl(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_r
     # audio residual slab (n_layers * c); the kernel's unrolled 8-layer
     # loop holds several live temps per layer, so keep blocks small
     per_row = 4 * (n_half + 1 + c + 3 * 2 * c + c + 2 * n_half + n_layers * c)
-    b_blk = _pick_b_blk(b, t8, per_row, budget=2 << 20)
+    b_blk = _pick_b_blk(b, t8, per_row, budget=_blk_budget())
     rows_blk = b_blk * t8
     grid = (b // b_blk,)
-    kernel = functools.partial(_wn_fwd_kernel, t_len=t)
+    kernel = functools.partial(_wn_fwd_kernel, t_len=t, bf16=_mxu_bf16())
     y2, aud, skip = pl.pallas_call(
         kernel,
         out_shape=(
@@ -318,14 +346,14 @@ def _wn_core_bwd(res, g):
     per_row = 4 * (
         n_half + 1 + 4 * 2 * c + 3 * c + 2 * 2 * n_half + n_layers * c
     )
-    b_blk = _pick_b_blk(b, t8, per_row, budget=2 << 20)
+    b_blk = _pick_b_blk(b, t8, per_row, budget=_blk_budget())
     rows_blk = b_blk * t8
     nb = b // b_blk
     grid = (nb,)
     # the bwd kernel recomputes z from aud; fold the cond bias into b_in so
     # the recompute matches the fwd (which adds it inside spect)
     b_in_eff = b_in + b_cond.reshape(n_layers, 2 * c)
-    kernel = functools.partial(_wn_bwd_kernel, t_len=t)
+    kernel = functools.partial(_wn_bwd_kernel, t_len=t, bf16=_mxu_bf16())
     # (nb*8, 1) with (8, 1) blocks: the smallest SMEM shape Mosaic's
     # block-divisibility rules admit for a per-grid-step scalar
     blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), 8).reshape(nb * 8, 1)
@@ -371,7 +399,7 @@ def _wn_core_bwd(res, g):
     gx, gws, gbs, gwc, gwi, gbi, gwr, gbr = outs
     # end-projection grads from the skip residual — ONE clean gemm each,
     # done outside the kernel to stay under the VMEM stack limit
-    gwe = jnp.dot(skip.T, g2, preferred_element_type=jnp.float32)
+    gwe = _dot(skip.T, g2, _mxu_bf16())
     gbe = jnp.sum(g2, axis=0)
     # gbi is d/d(b_in) AND d/d(b_cond): b_in_eff = b_in + b_cond folds them
     # and both receive the same g_z sum per layer

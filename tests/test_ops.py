@@ -351,3 +351,38 @@ def test_wn_fused_vmap_per_run_params(monkeypatch):
         jax.tree_util.tree_flatten_with_path(gf)[0],
     ):
         np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))
+
+
+def test_wn_fused_bf16_mxu_path(monkeypatch):
+    """FLSTTSC_WN_MXU=bf16 feeds the kernel's matmuls bf16 operands with f32
+    accumulation — values/grads must track the f32 path to mixed-precision
+    tolerance (the path exists to lift vmapped multi-run throughput, see
+    docs/DESIGN.md; default stays f32 for reference parity)."""
+    from feature_level_style_transfer_for_tsc_tpu.models import flow as F
+    from feature_level_style_transfer_for_tsc_tpu.models.common import (
+        weight_norm_weight,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.ops.wn_fused import wn_apply_fused
+
+    monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+    b, t, n_half, c = 4, 150, 65, 48
+    params = F.wn_init(jax.random.PRNGKey(0), n_half, 8, c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, n_half))
+
+    def loss(p, xx):
+        return jnp.sum(jnp.sin(wn_apply_fused(p, xx, c, weight_norm_weight)))
+
+    monkeypatch.setenv("FLSTTSC_WN_MXU", "f32")
+    v32, g32 = jax.value_and_grad(loss)(params, x)
+    monkeypatch.setenv("FLSTTSC_WN_MXU", "bf16")
+    v16, g16 = jax.value_and_grad(loss)(params, x)
+
+    np.testing.assert_allclose(v16, v32, rtol=2e-2)
+    from jax.flatten_util import ravel_pytree
+
+    f32 = ravel_pytree(g32)[0]
+    f16 = ravel_pytree(g16)[0]
+    scale = float(jnp.max(jnp.abs(f32)))
+    assert float(jnp.max(jnp.abs(f16 - f32))) < 3e-2 * scale
+    # and it must actually differ from f32 (the flag engaged)
+    assert float(jnp.max(jnp.abs(f16 - f32))) > 0.0

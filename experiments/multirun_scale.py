@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 from parity_fullscale import get_pair, N_TRAIN, T_T, C_T, N_CLS_T, T_S, C_S, N_CLS_S  # noqa: E402
 
-RESULTS = os.path.join(HERE, "results_multirun_scale.json")
+_TAG = os.environ.get("FLSTTSC_MULTIRUN_TAG", "")
+RESULTS = os.path.join(
+    HERE, f"results_multirun_scale{'_' + _TAG if _TAG else ''}.json"
+)
 # bench.py round-2 measured FLOPs of one production phase-5 step at this scale
 FLOPS_PER_STEP_1RUN = 45_335_661_773
 V5E_BF16_PEAK = 394e12  # TPU v5e peak bf16 FLOP/s
@@ -81,6 +84,14 @@ def main():
             )
         jax.block_until_ready(m)
         wall = time.perf_counter() - t0
+        # force full materialization of the carried states — a wedged device
+        # acking without executing (seen once, docs/DESIGN.md hazard ledger)
+        # would otherwise produce physically impossible timings
+        checksum = float(
+            sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(states["params"]))
+        )
+        assert np.isfinite(checksum), f"k={k}: non-finite params after timing"
+        print(f"k={k}: params checksum {checksum:.6g}", flush=True)
 
         steps = TIMED_EPOCHS * nb
         series_per_sec = k * steps * bs / wall

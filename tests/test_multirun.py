@@ -181,3 +181,37 @@ def test_stack_unstack_roundtrip():
         jax.tree_util.tree_leaves_with_path(sts[1]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phase5_epoch_bf16_mxu_tracks_f32(monkeypatch):
+    """One phase-5 epoch with the fused WN kernel on bf16 MXU operands
+    (FLSTTSC_WN_MXU=bf16, interpret mode) produces finite metrics that track
+    the f32 fused path — the smoke bar for the multi-run throughput knob."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1")
+    monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+
+    t_train, _, s_train, _ = make_pair(11)
+    pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, tiny_cfg(seed=11))
+
+    def one_epoch():
+        state = pipe.init_state(jax.random.PRNGKey(11))
+        nb = 2
+        xt = jnp.asarray(t_train.x[: 4 * nb]).reshape(nb, 4, *t_train.x.shape[1:])
+        yt = jnp.asarray(t_train.y[: 4 * nb]).reshape(nb, 4)
+        xs = jnp.asarray(s_train.x[: 4 * nb]).reshape(nb, 4, *s_train.x.shape[1:])
+        ys = jnp.asarray(s_train.y[: 4 * nb]).reshape(nb, 4)
+        _, metrics = pipe.phase5_epoch(state, xt, yt, xs, ys, jnp.asarray(0))
+        return {k: np.asarray(v) for k, v in metrics.items()}
+
+    monkeypatch.setenv("FLSTTSC_WN_MXU", "f32")
+    m32 = one_epoch()
+    monkeypatch.setenv("FLSTTSC_WN_MXU", "bf16")
+    m16 = one_epoch()
+
+    for k in m32:
+        assert np.all(np.isfinite(m16[k])), k
+        np.testing.assert_allclose(
+            m16[k], m32[k], rtol=5e-2, atol=5e-2, err_msg=f"metric {k}"
+        )

@@ -14,20 +14,22 @@ step() {
   echo "=== step $N exit $? ($(date +%H:%M:%S)) ===" | tee -a $LOG
 }
 
-# 1. post-fix phase-5 breakdown (8MB default budget)
-step 1 2400 python experiments/vmap_phase5_breakdown.py
-# 2. multirun scaling f32 (the VERDICT #1 headline numbers)
-step 2 3600 python experiments/multirun_scale.py 1 4 8 16
-# 3. multirun scaling with bf16 MXU operands
-step 3 3600 env FLSTTSC_WN_MXU=bf16 FLSTTSC_MULTIRUN_TAG=bf16 python experiments/multirun_scale.py 1 4 8 16
-# 4. config-4 at spec: 5 sources, 3 vote rules
-step 4 7200 python experiments/multisource_demo.py
-# 5. efficacy curve: 3 pairs x 2 scarcity
-step 5 10800 python experiments/efficacy_curve.py
-# 6. vendored real-format dataset e2e
-step 6 3600 python experiments/vendored_e2e.py
-# 7. bucketed archive sweep
-step 7 7200 python experiments/bucketed_sweep_bench.py
-# 8. inv1x1 batched-slogdet frontier
-step 8 2400 python experiments/inv1x1_frontier.py
+# Ordered so a LATE chip recovery still lands the headline results first:
+# multirun scaling (VERDICT #1), then cheap items, then long accuracy runs.
+# 1. multirun scaling f32 (the VERDICT #1 headline numbers)
+step 1 3600 python experiments/multirun_scale.py 1 4 8 16
+# 2. multirun scaling with bf16 MXU operands
+step 2 3600 env FLSTTSC_WN_MXU=bf16 FLSTTSC_MULTIRUN_TAG=bf16 python experiments/multirun_scale.py 1 4 8 16
+# 3. post-fix phase-5 breakdown (8MB default budget)
+step 3 2400 python experiments/vmap_phase5_breakdown.py
+# 4. vendored real-format dataset e2e (quick on TPU)
+step 4 3600 python experiments/vendored_e2e.py
+# 5. inv1x1 batched-slogdet frontier (quick)
+step 5 2400 python experiments/inv1x1_frontier.py
+# 6. config-4 at spec: 5 sources, 3 vote rules (also running CPU-side as fallback)
+step 6 7200 python experiments/multisource_demo.py
+# 7. efficacy curve: 3 pairs x 2 scarcity
+step 7 10800 python experiments/efficacy_curve.py
+# 8. bucketed archive sweep
+step 8 7200 python experiments/bucketed_sweep_bench.py
 echo "QUEUE DONE $(date)" | tee -a $LOG

@@ -7,6 +7,11 @@ SPMD partitioner insert the `psum`s — gradients (summed via the chain rule
 through the batch-mean losses) and BatchNorm batch statistics are reduced
 across devices automatically, keeping the math identical to single-device
 execution (verified in tests/test_parallel.py).
+
+If the partitioner's choices ever regress on a new shape, the hand-written
+collective path in `parallel/dp_explicit.py` (shard_map: psum'd grads,
+psum'd BatchNorm moments, all_gather'd InfoNCE negatives) is the fallback;
+it is held equal to the single-device epoch by tests/test_dp_explicit.py.
 """
 
 from __future__ import annotations

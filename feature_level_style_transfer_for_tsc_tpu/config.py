@@ -95,6 +95,28 @@ class PipelineConfig:
     #: than 10 small optax chains save — see docs/DESIGN.md), so default
     #: off; kept for remeasurement at larger parameter counts.
     fused_optimizers: bool = False
+    #: route the per-loss GradNorm trunk pullbacks (phase-5 `pull(i)`)
+    #: through flows flagged weight-grad-discarding, so the fused WN kernel
+    #: uses its input-grad-only backward (ops/wn_fused._wn_core_x) instead
+    #: of paying the weight-grad gemms XLA cannot dead-code-eliminate inside
+    #: the opaque kernel.  Exact same math (the discarded cotangents were
+    #: never read); trunk norms bitwise-equal — tests/test_multirun.py.
+    #: Measured 1.15x phase-5 step alone, 1.27x with merged_pullbacks
+    #: (experiments/results_xonly_pullbacks.json) and GradNorm trajectories
+    #: exactly equal at K<=8 — but OFF by default: the extra vjp reshapes
+    #: XLA's schedule enough to perturb pull(0)'s grads at the fp level,
+    #: which RMSprop's sign-like first steps amplify; in the K=16 vmapped
+    #: sweep 2/16 runs went non-finite by epoch 5 where the default program
+    #: stays tame (docs/DESIGN.md "K=16 hazard").  Opt in where measured.
+    xonly_pullbacks: bool = False
+    #: merge the GradNorm trunk pulls whose cross-trunk gradients are
+    #: structurally ZERO: t_nf depends only on the t_ext trunk and s_nf only
+    #: on s_ext (the pair-batched flow is per-sample), so ONE pullback
+    #: seeded e_{t_nf}+e_{s_nf} yields both trunk grads exactly — likewise
+    #: t_c/s_c.  6 backwards/step -> 4, bit-identical trunk norms
+    #: (tests/test_multirun.py).  Default ON: measured 1.16x alone, 1.27x
+    #: with xonly_pullbacks (experiments/results_xonly_pullbacks.json).
+    merged_pullbacks: bool = True
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -85,6 +85,18 @@ def _dot(a, b, bf16: bool):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _ablate() -> frozenset:
+    """TIMING-DIAGNOSTIC ONLY (FLSTTSC_WN_ABLATE=nogate,nomask,nocond):
+    trace-time switches that remove a class of in-kernel work to attribute
+    kernel time between MXU gemms, VPU transcendentals (gates), and the tap
+    masks/rolls.  Output is numerically WRONG with any ablation active —
+    never set outside experiments/wn_roofline.py."""
+    import os
+
+    v = os.environ.get("FLSTTSC_WN_ABLATE", "")
+    return frozenset(s for s in v.split(",") if s)
+
+
 def _pick_b_blk(b: int, t: int, per_row_bytes: int, budget: int = 6 << 20) -> int:
     """Largest divisor of b whose block fits the VMEM budget.  Mosaic
     requires block rows divisible by 8 (sublanes) unless the block spans the
@@ -105,19 +117,27 @@ def _roll(x, shift):
     return pltpu.roll(x, shift % rows, 0)
 
 
-def _tap_sum(audio, w3, pos, t_len, dilation, bf16=False):
+def _tap_sum(audio, w3, pos, t_len, dilation, bf16=False, mask=True):
     """sum of the 3 masked tap matmuls: y[t] = sum_o m_o(t) * audio[t+o] @ w_o
     for offsets o in (-d, 0, +d).  `pos` is (rows, 1) int32 position-within-
-    element; masks zero rows whose read crosses an element boundary."""
+    element; masks zero rows whose read crosses an element boundary.  The
+    mask is applied to the (rows, C) INPUT of each tap gemm rather than its
+    (rows, 2C) output — per-row scaling commutes with the matmul and the
+    input is half as wide."""
     rows = audio.shape[0]
+    if not mask:  # diagnostic only (_ablate "nomask")
+        y = _dot(_roll(audio, dilation), w3[0], bf16)
+        y += _dot(audio, w3[1], bf16)
+        y += _dot(_roll(audio, rows - dilation), w3[2], bf16)
+        return y
     # tap -d  (w3[0]): read audio[t - d], valid iff pos >= d
     lo = jnp.where(pos >= dilation, 1.0, 0.0)
-    y = lo * _dot(_roll(audio, dilation), w3[0], bf16)
+    y = _dot(lo * _roll(audio, dilation), w3[0], bf16)
     # tap 0 (w3[1])
     y += _dot(audio, w3[1], bf16)
     # tap +d (w3[2]): read audio[t + d], valid iff pos < t_len - d
     hi = jnp.where(pos < t_len - dilation, 1.0, 0.0)
-    y += hi * _dot(_roll(audio, rows - dilation), w3[2], bf16)
+    y += _dot(hi * _roll(audio, rows - dilation), w3[2], bf16)
     return y
 
 
@@ -140,22 +160,27 @@ def _tap_sum_t(g, w3, pos, t_len, dilation, bf16=False):
 def _wn_fwd_kernel(
     x_ref, pos_ref, ws_ref, bs_ref, wc_ref, bc_ref, wi_ref, bi_ref,
     wr_ref, br_ref, we_ref, be_ref, y_ref, aud_ref, skip_ref, *, t_len: int,
-    bf16: bool = False,
+    bf16: bool = False, ablate: frozenset = frozenset(),
 ):
     n_layers = wi_ref.shape[0]
     c = wi_ref.shape[2]
+    mask = "nomask" not in ablate
     x = x_ref[...]
     pos = pos_ref[...]
     audio = _dot(x, ws_ref[...], bf16) + bs_ref[...]
     output = jnp.zeros((x.shape[0], c), jnp.float32)
     for i in range(n_layers):
         aud_ref[i] = audio
-        spect = (
-            _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
-            + bc_ref[:, 2 * c * i : 2 * c * (i + 1)]
-        )
-        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16) + bi_ref[i] + spect
-        acts = jnp.tanh(z[:, :c]) * jax.nn.sigmoid(z[:, c:])
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16, mask) + bi_ref[i]
+        if "nocond" not in ablate:
+            z += (
+                _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
+                + bc_ref[:, 2 * c * i : 2 * c * (i + 1)]
+            )
+        if "nogate" in ablate:
+            acts = z[:, :c] + z[:, c:]
+        else:
+            acts = jnp.tanh(z[:, :c]) * jax.nn.sigmoid(z[:, c:])
         rs = _dot(acts, wr_ref[i], bf16) + br_ref[i]
         audio = audio + rs[:, :c]
         output = output + rs[:, c:]
@@ -167,7 +192,8 @@ def _wn_bwd_kernel(
     blk_ref, x_ref, pos_ref, ws_ref, wc_ref, wi_ref, bi_ref, wr_ref, we_ref,
     aud_ref, g_ref,
     gx_ref, gws_ref, gbs_ref, gwc_ref, gwi_ref, gbi_ref,
-    gwr_ref, gbr_ref, *, t_len: int, bf16: bool = False
+    gwr_ref, gbr_ref, *, t_len: int, bf16: bool = False,
+    ablate: frozenset = frozenset(),
 ):
     """Reverse layer walk.  Weight-grad outputs use CONSTANT index maps and
     accumulate across the sequential grid; the zero-init fires on the first
@@ -178,6 +204,7 @@ def _wn_bwd_kernel(
     OUTSIDE in plain XLA to stay under the VMEM stack limit."""
     n_layers = wi_ref.shape[0]
     c = wi_ref.shape[2]
+    mask = "nomask" not in ablate
 
     @pl.when(blk_ref[0, 0] == 0)
     def _init():
@@ -201,18 +228,26 @@ def _wn_bwd_kernel(
         audio = aud_ref[i]
         # recompute the gate pre-activation (bi_ref carries b_in + the cond
         # bias slice pre-summed by the caller, matching the fwd's z)
-        spect = _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
-        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16) + bi_ref[i] + spect
-        tt = jnp.tanh(z[:, :c])
-        ss = jax.nn.sigmoid(z[:, c:])
-        acts = tt * ss
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16, mask) + bi_ref[i]
+        if "nocond" not in ablate:
+            z += _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
         g_rs = jnp.concatenate([g_audio, g_skip], axis=1)
-        gwr_ref[i] += _dot(acts.T, g_rs, bf16)
-        gbr_ref[i] += jnp.sum(g_rs, axis=0, keepdims=True)[0]
-        g_acts = _dot(g_rs, wr_ref[i].T, bf16)
-        g_z = jnp.concatenate(
-            [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)], axis=1
-        )
+        if "nogate" in ablate:
+            acts = z[:, :c] + z[:, c:]
+            gwr_ref[i] += _dot(acts.T, g_rs, bf16)
+            gbr_ref[i] += jnp.sum(g_rs, axis=0, keepdims=True)[0]
+            g_acts = _dot(g_rs, wr_ref[i].T, bf16)
+            g_z = jnp.concatenate([g_acts, g_acts], axis=1)
+        else:
+            tt = jnp.tanh(z[:, :c])
+            ss = jax.nn.sigmoid(z[:, c:])
+            acts = tt * ss
+            gwr_ref[i] += _dot(acts.T, g_rs, bf16)
+            gbr_ref[i] += jnp.sum(g_rs, axis=0, keepdims=True)[0]
+            g_acts = _dot(g_rs, wr_ref[i].T, bf16)
+            g_z = jnp.concatenate(
+                [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)], axis=1
+            )
         # conv taps: dw[o] = (masked rolled audio).T @ g_z
         rows = audio.shape[0]
         lo = jnp.where(pos >= 2 ** i, 1.0, 0.0)
@@ -222,12 +257,58 @@ def _wn_bwd_kernel(
         gwi_ref[i, 2] += _dot(_roll(audio, rows - 2 ** i).T, hi * g_z, bf16)
         gbi_ref[i] += jnp.sum(g_z, axis=0, keepdims=True)[0]
         # cond projection grads
-        gwc_ref[:, 2 * c * i : 2 * c * (i + 1)] += _dot(x.T, g_z, bf16)
-        g_x += _dot(g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, bf16)
+        if "nocond" not in ablate:
+            gwc_ref[:, 2 * c * i : 2 * c * (i + 1)] += _dot(x.T, g_z, bf16)
+            g_x += _dot(g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, bf16)
         # through the conv to the layer input (+ residual passthrough)
         g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i, bf16)
     gws_ref[...] += _dot(x.T, g_audio, bf16)
     gbs_ref[...] += jnp.sum(g_audio, axis=0, keepdims=True)
+    gx_ref[...] = g_x + _dot(g_audio, ws_ref[...].T, bf16)
+
+
+def _wn_bwd_kernel_xonly(
+    x_ref, pos_ref, ws_ref, wc_ref, wi_ref, bi_ref, wr_ref, we_ref,
+    aud_ref, g_ref, gx_ref, *, t_len: int, bf16: bool = False,
+    ablate: frozenset = frozenset(),
+):
+    """Input-gradient-only reverse walk: identical layer recurrence to
+    `_wn_bwd_kernel` but NO weight/bias gradient accumulation (gwr/gwi/gwc/
+    gws/gb*).  GradNorm's per-loss trunk-norm pullbacks (train/pipeline.py
+    `pull(i)`, i in {nf losses}) only consume d(loss)/d(features) — the flow
+    weight cotangents are discarded — but XLA cannot dead-code-eliminate
+    *inside* the monolithic fused kernel, so the full bwd kernel pays ~40%
+    of its gemm FLOPs (the weight-grad gemms) for nothing on those pulls.
+    This variant drops them and the grid-accumulation machinery (no SMEM
+    block scalar, no zero-init) entirely."""
+    n_layers = wi_ref.shape[0]
+    c = wi_ref.shape[2]
+    mask = "nomask" not in ablate
+    x = x_ref[...]
+    pos = pos_ref[...]
+    g_y = g_ref[...]
+    g_skip = _dot(g_y, we_ref[...].T, bf16)
+    g_audio = jnp.zeros((x.shape[0], c), jnp.float32)
+    g_x = jnp.zeros_like(x)
+    for i in range(n_layers - 1, -1, -1):
+        audio = aud_ref[i]
+        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16, mask) + bi_ref[i]
+        if "nocond" not in ablate:
+            z += _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
+        g_rs = jnp.concatenate([g_audio, g_skip], axis=1)
+        g_acts = _dot(g_rs, wr_ref[i].T, bf16)
+        if "nogate" in ablate:
+            g_z = jnp.concatenate([g_acts, g_acts], axis=1)
+        else:
+            tt = jnp.tanh(z[:, :c])
+            ss = jax.nn.sigmoid(z[:, c:])
+            g_z = jnp.concatenate(
+                [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)],
+                axis=1,
+            )
+        if "nocond" not in ablate:
+            g_x += _dot(g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, bf16)
+        g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i, bf16)
     gx_ref[...] = g_x + _dot(g_audio, ws_ref[...].T, bf16)
 
 
@@ -286,7 +367,9 @@ def _wn_core_fwd_impl(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_r
     b_blk = _pick_b_blk(b, t8, per_row, budget=_blk_budget())
     rows_blk = b_blk * t8
     grid = (b // b_blk,)
-    kernel = functools.partial(_wn_fwd_kernel, t_len=t, bf16=_mxu_bf16())
+    kernel = functools.partial(
+        _wn_fwd_kernel, t_len=t, bf16=_mxu_bf16(), ablate=_ablate()
+    )
     y2, aud, skip = pl.pallas_call(
         kernel,
         out_shape=(
@@ -353,7 +436,9 @@ def _wn_core_bwd(res, g):
     # the bwd kernel recomputes z from aud; fold the cond bias into b_in so
     # the recompute matches the fwd (which adds it inside spect)
     b_in_eff = b_in + b_cond.reshape(n_layers, 2 * c)
-    kernel = functools.partial(_wn_bwd_kernel, t_len=t, bf16=_mxu_bf16())
+    kernel = functools.partial(
+        _wn_bwd_kernel, t_len=t, bf16=_mxu_bf16(), ablate=_ablate()
+    )
     # (nb*8, 1) with (8, 1) blocks: the smallest SMEM shape Mosaic's
     # block-divisibility rules admit for a per-grid-step scalar
     blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), 8).reshape(nb * 8, 1)
@@ -415,9 +500,96 @@ def _wn_core_bwd(res, g):
 _wn_core.defvjp(_wn_core_fwd, _wn_core_bwd)
 
 
-def wn_apply_fused(params, x, n_channels: int, weight_norm_weight) -> jax.Array:
+@jax.custom_vjp
+def _wn_core_x(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
+    """Same primal as `_wn_core`; backward computes ONLY d/dx (weight
+    cotangents are zeros).  The fwd pallas_call is operand-identical to the
+    full core's so XLA CSE collapses the two forwards when both appear in
+    one program (verified by counting kernels in the compiled HLO,
+    tests/test_ops.py)."""
+    y, _, _ = _wn_core_fwd_impl(
+        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
+    )
+    return y
+
+
+def _wn_core_x_fwd(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
+    y, aud, skip = _wn_core_fwd_impl(
+        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
+    )
+    del skip  # xonly bwd never forms gwe
+    res = (x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud)
+    return y, res
+
+
+def _wn_core_x_bwd(res, g):
+    x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud = res
+    b, t, n_half = x.shape
+    n_layers, _, c, _ = w_in.shape
+    t8 = -(-t // 8) * 8
+    if t8 != t:
+        x = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, t8 - t), (0, 0)))
+    rows = b * t8
+    x2 = x.reshape(rows, n_half)
+    g2 = g.reshape(rows, 2 * n_half).astype(jnp.float32)
+    pos = jnp.tile(jnp.arange(t8, dtype=jnp.int32), b).reshape(rows, 1)
+    # no weight-grad accumulators live in VMEM -> same per-row footprint as
+    # the full bwd minus the gw slabs; reuse the full bwd's accounting (a
+    # slightly small b_blk is harmless)
+    per_row = 4 * (
+        n_half + 1 + 4 * 2 * c + 3 * c + 2 * 2 * n_half + n_layers * c
+    )
+    b_blk = _pick_b_blk(b, t8, per_row, budget=_blk_budget())
+    rows_blk = b_blk * t8
+    grid = (b // b_blk,)
+    b_in_eff = b_in + b_cond.reshape(n_layers, 2 * c)
+    kernel = functools.partial(
+        _wn_bwd_kernel_xonly, t_len=t, bf16=_mxu_bf16(), ablate=_ablate()
+    )
+    gx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, n_half), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_half, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 3, c, 2 * c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, c, 2 * c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * n_half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, rows_blk, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, 2 * n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=pallas_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x2, pos, w_start, w_cond, w_in, b_in_eff, w_rs, w_end, aud, g2)
+    return (
+        gx.reshape(b, t8, n_half)[:, :t],
+        jnp.zeros_like(w_start), jnp.zeros((c,), jnp.float32),
+        jnp.zeros_like(w_cond), jnp.zeros_like(b_cond),
+        jnp.zeros_like(w_in), jnp.zeros_like(b_in),
+        jnp.zeros_like(w_rs), jnp.zeros_like(b_in),
+        jnp.zeros_like(w_end), jnp.zeros((2 * n_half,), jnp.float32),
+    )
+
+
+_wn_core_x.defvjp(_wn_core_x_fwd, _wn_core_x_bwd)
+
+
+def wn_apply_fused(
+    params, x, n_channels: int, weight_norm_weight, xgrad_only: bool = False
+) -> jax.Array:
     """Drop-in fused replacement for models.flow.wn_apply (TPU, f32,
-    reference geometry: kernel 3, dilation 2**i)."""
+    reference geometry: kernel 3, dilation 2**i).  ``xgrad_only=True``
+    selects a backward that computes ONLY d/dx (weight cotangents zero) —
+    for GradNorm trunk-norm pullbacks, which discard the flow weight grads."""
     del n_channels  # implied by the param shapes
     eff = _stack_effective(params, weight_norm_weight)
-    return _wn_core(x.astype(jnp.float32), *eff)
+    core = _wn_core_x if xgrad_only else _wn_core
+    return core(x.astype(jnp.float32), *eff)

@@ -539,11 +539,14 @@ class StyleTransferPipeline:
     # ----------------------------------------------------------------------
 
     def _phase5_forward(
-        self, params, mstate, consts, bt, lt, bs, ls, rng, cpc_anchors=None
+        self, params, mstate, consts, bt, lt, bs, ls, rng, cpc_anchors=None,
+        xonly_flows=False,
     ):
         """The full hot-loop forward (reference :539-621).  Returns every
         loss plus updated model state.  ``cpc_anchors`` pins the two CPC
-        anchor draws (parity tests only)."""
+        anchor draws (parity tests only).  ``xonly_flows`` marks the flow
+        applications as weight-grad-discarding (GradNorm trunk pullbacks —
+        see models.flow.wn_apply): same primal, cheaper fused backward."""
         wn_ch = self.config.flow.wn_channels
         r1, r2, r3 = jax.random.split(rng, 3)
         new_m = dict(mstate)
@@ -554,14 +557,19 @@ class StyleTransferPipeline:
         t_sl, s_sl = cpc_apply_pair(
             params["cpc"], t_feat, s_feat, r1, r2, anchors=cpc_anchors
         )
-        t_nf_out, s_nf_out = waveglow_forward_pair(params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp)
+        t_nf_out, s_nf_out = waveglow_forward_pair(
+            params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp, xonly_flows
+        )
         t_nf_loss = waveglow_loss(t_nf_out)
         s_nf_loss = waveglow_loss(s_nf_out)
         t_noise, s_noise = t_nf_out[0], s_nf_out[0]
         s2t_noise, new_m["noise"] = noise_transfer_apply(
             params["noise"], mstate["noise"], t_noise, s_noise
         )
-        s2t_feat = waveglow_infer(params["nf"], s2t_noise, wn_ch, log_s_clamp=self.log_s_clamp)
+        s2t_feat = waveglow_infer(
+            params["nf"], s2t_noise, wn_ch, log_s_clamp=self.log_s_clamp,
+            xgrad_only=xonly_flows,
+        )
 
         t_logits, t_pool, new_m["t_cls"] = self.classify_target(params, mstate, t_feat, True)
         # eval-mode flip for the s2t pass: running BN stats, no stat update.
@@ -624,9 +632,13 @@ class StyleTransferPipeline:
     def phase5_epoch(self, state, xt, yt, xs, ys, epoch, collect_features: bool = False):
         cfg = self.config
 
-        def total_loss_fn(params, mstate, consts, gw_t, gw_s, bt, lt, bs, ls, rng, epoch):
+        def total_loss_fn(
+            params, mstate, consts, gw_t, gw_s, bt, lt, bs, ls, rng, epoch,
+            xonly_flows=False,
+        ):
             losses, new_m, feats = self._phase5_forward(
-                params, mstate, consts, bt, lt, bs, ls, rng
+                params, mstate, consts, bt, lt, bs, ls, rng,
+                xonly_flows=xonly_flows,
             )
             loss_t = jnp.stack([losses["t_nf"], losses["t_c"]])
             loss_s = jnp.stack([losses["s_nf"], losses["s_c"], losses["s2t2s_c"]])
@@ -655,10 +667,10 @@ class StyleTransferPipeline:
             # the same work as the reference's ``autograd.grad(loss_i,
             # shared_trunk)`` (train_and_test.py:681-690) without its two
             # extra forward recomputes.
-            def all_losses(p):
+            def all_losses(p, xonly_flows=False):
                 total, (losses, new_m, feats) = total_loss_fn(
                     p, mstate, state["consts"], gn["t"].weights, gn["s"].weights,
-                    bt, lt, bs, ls, sub, epoch,
+                    bt, lt, bs, ls, sub, epoch, xonly_flows=xonly_flows,
                 )
                 vec = jnp.stack(
                     [total, losses["t_nf"], losses["t_c"], losses["s_nf"],
@@ -670,8 +682,25 @@ class StyleTransferPipeline:
                 all_losses, params, has_aux=True
             )
 
-            def pull(i):
-                (g,) = pullback(jnp.asarray(np.eye(6, dtype=np.float32)[i]))
+            if cfg.xonly_pullbacks:
+                # Second vjp of the SAME forward with the flows flagged
+                # weight-grad-discarding: the per-loss trunk pulls below only
+                # consume d(loss)/d(extractor trunk), but the fused WN
+                # backward is opaque to XLA's DCE, so without the flag every
+                # nf-loss pull pays the kernel's weight-grad gemms for
+                # nothing.  The flagged forward's pallas_calls are operand-
+                # identical to the first vjp's, so XLA CSE collapses the two
+                # forwards into one (numerics: identical primal by
+                # construction; d/d(trunk) equality is exact — see
+                # ops/wn_fused._wn_core_x and tests/test_multirun.py).
+                _, pullback_n = jax.vjp(
+                    lambda p: all_losses(p, xonly_flows=True)[0], params
+                )
+            else:
+                pullback_n = pullback
+
+            def pull(i, pb=pullback):
+                (g,) = pb(jnp.asarray(np.eye(6, dtype=np.float32)[i]))
                 return g
 
             def trunk_norm(g, trunk_key):
@@ -683,8 +712,38 @@ class StyleTransferPipeline:
             # every pull then traverses the full graph — and ran 0.40x on
             # the v5e.  The one-hot-constant form below is the winner.)
             grads = pull(0)
-            n_t = jnp.stack([trunk_norm(pull(i), "t_ext") for i in (1, 2)])
-            n_s = jnp.stack([trunk_norm(pull(i), "s_ext") for i in (3, 4, 5)])
+            if cfg.merged_pullbacks:
+                # Structural-zero merge: t_nf sees only the t_ext trunk and
+                # s_nf only s_ext (waveglow_forward_pair is per-sample, so
+                # d t_nf/d s_feat == 0 and vice versa); t_c/s_c likewise.
+                # One pullback seeded with BOTH one-hots therefore returns
+                # both per-loss trunk grads exactly — 6 backwards -> 4.
+                # s2t2s_c touches BOTH trunks (s2t_feat descends from
+                # t_noise), so its pull stays solo and only its s_ext norm
+                # is read (reference semantics, train_and_test.py:688-690).
+                eye = np.eye(6, dtype=np.float32)
+
+                def pull_seed(seed, pb=pullback):
+                    (g,) = pb(jnp.asarray(seed))
+                    return g
+
+                g_nf = pull_seed(eye[1] + eye[3], pullback_n)
+                g_c = pull_seed(eye[2] + eye[4], pullback_n)
+                g_5 = pull_seed(eye[5], pullback_n)
+                n_t = jnp.stack(
+                    [trunk_norm(g_nf, "t_ext"), trunk_norm(g_c, "t_ext")]
+                )
+                n_s = jnp.stack(
+                    [trunk_norm(g_nf, "s_ext"), trunk_norm(g_c, "s_ext"),
+                     trunk_norm(g_5, "s_ext")]
+                )
+            else:
+                n_t = jnp.stack(
+                    [trunk_norm(pull(i, pullback_n), "t_ext") for i in (1, 2)]
+                )
+                n_s = jnp.stack(
+                    [trunk_norm(pull(i, pullback_n), "s_ext") for i in (3, 4, 5)]
+                )
             losses_t_vec = vec[1:3]
             losses_s_vec = vec[3:6]
             gn_t = gradnorm_step(

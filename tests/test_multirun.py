@@ -215,3 +215,65 @@ def test_phase5_epoch_bf16_mxu_tracks_f32(monkeypatch):
         np.testing.assert_allclose(
             m16[k], m32[k], rtol=5e-2, atol=5e-2, err_msg=f"metric {k}"
         )
+
+
+def test_phase5_epoch_fast_pullbacks_exact(monkeypatch):
+    """The GradNorm pullback knobs must be numerically invisible:
+
+    * config.xonly_pullbacks routes the trunk pulls through the fused WN's
+      input-grad-only backward (ops/wn_fused._wn_core_x) — the discarded
+      weight cotangents were never read;
+    * config.merged_pullbacks merges the t_nf/s_nf (and t_c/s_c) pulls into
+      one backward each — exact because their cross-trunk gradients are
+      structurally zero.
+
+    Each combination must give the same metrics (incl. the GradNorm weights,
+    which consume the trunk norms) and updated params as the default, on
+    both the fused-kernel path and the plain XLA path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    t_train, _, s_train, _ = make_pair(13)
+
+    def one_epoch(use_pallas, xonly, merged):
+        monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1" if use_pallas else "0")
+        monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+        cfg = dataclasses.replace(
+            tiny_cfg(seed=13), xonly_pullbacks=xonly, merged_pullbacks=merged
+        )
+        pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
+        state = pipe.init_state(jax.random.PRNGKey(13))
+        nb = 2
+        xt = jnp.asarray(t_train.x[: 4 * nb]).reshape(nb, 4, *t_train.x.shape[1:])
+        yt = jnp.asarray(t_train.y[: 4 * nb]).reshape(nb, 4)
+        xs = jnp.asarray(s_train.x[: 4 * nb]).reshape(nb, 4, *s_train.x.shape[1:])
+        ys = jnp.asarray(s_train.y[: 4 * nb]).reshape(nb, 4)
+        st, metrics = pipe.phase5_epoch(state, xt, yt, xs, ys, jnp.asarray(0))
+        return st, {k: np.asarray(v) for k, v in metrics.items()}
+
+    cases = [
+        (True, True, False),   # fused kernel, x-only pulls
+        (False, True, False),  # knob harmless on the plain XLA path
+        (False, False, True),  # merged pulls, plain XLA
+        (True, True, True),    # both knobs on the fused path
+    ]
+    base = {}
+    for use_pallas, xonly, merged in cases:
+        if use_pallas not in base:
+            base[use_pallas] = one_epoch(use_pallas, False, False)
+        st0, m0 = base[use_pallas]
+        st1, m1 = one_epoch(use_pallas, xonly, merged)
+        tag = f"pallas={use_pallas} xonly={xonly} merged={merged}"
+        for k in m0:
+            np.testing.assert_allclose(
+                m1[k], m0[k], rtol=1e-6, atol=1e-7, err_msg=f"metric {k} ({tag})"
+            )
+        for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st0["params"]),
+            jax.tree_util.tree_leaves_with_path(st1["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+                err_msg=f"param {p} ({tag})",
+            )

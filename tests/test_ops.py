@@ -353,6 +353,62 @@ def test_wn_fused_vmap_per_run_params(monkeypatch):
         np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))
 
 
+def test_wn_fused_xgrad_only(monkeypatch):
+    """xgrad_only=True (GradNorm trunk-pullback contract): identical primal,
+    d/dx equal to the full core's d/dx, and every weight/bias cotangent an
+    exact zero — so a pullback that only consumes feature grads (pipeline
+    `pull(i)` for the nf losses) skips the weight-grad gemms entirely."""
+    from feature_level_style_transfer_for_tsc_tpu.models import flow as F
+    from feature_level_style_transfer_for_tsc_tpu.models.common import (
+        weight_norm_weight,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.ops.wn_fused import wn_apply_fused
+
+    monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+    b, t, n_half, c = 3, 50, 17, 32  # non-sublane-aligned T
+    params = F.wn_init(jax.random.PRNGKey(0), n_half, 8, c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, n_half))
+
+    np.testing.assert_allclose(
+        wn_apply_fused(params, x, c, weight_norm_weight, xgrad_only=True),
+        wn_apply_fused(params, x, c, weight_norm_weight),
+        rtol=0, atol=0,
+    )
+
+    def loss(p, xx, xonly):
+        return jnp.sum(
+            jnp.sin(wn_apply_fused(p, xx, c, weight_norm_weight, xgrad_only=xonly))
+        )
+
+    gp_full, gx_full = jax.grad(loss, argnums=(0, 1))(params, x, False)
+    gp_x, gx_x = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    np.testing.assert_allclose(gx_x, gx_full, rtol=1e-5, atol=1e-6)
+    # weight cotangents are declared-zero, not merely small
+    for path, leaf in jax.tree_util.tree_flatten_with_path(gp_x)[0]:
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0, str(path)
+    # and the full path's weight grads are nonzero (the contrast is real)
+    assert any(
+        float(jnp.max(jnp.abs(l))) > 0
+        for l in jax.tree_util.tree_leaves(gp_full)
+    )
+
+    # the flag also composes with vmapped per-run params (multirun regime)
+    pk = jax.tree_util.tree_map(lambda l: jnp.stack([l, l]), params)
+    xk = jnp.stack([x, x])
+    gxk = jax.grad(
+        lambda xs: jnp.sum(
+            jnp.sin(
+                jax.vmap(
+                    lambda pp, xx: wn_apply_fused(
+                        pp, xx, c, weight_norm_weight, xgrad_only=True
+                    )
+                )(pk, xs)
+            )
+        )
+    )(xk)
+    np.testing.assert_allclose(gxk[0], gx_full, rtol=1e-5, atol=1e-6)
+
+
 def test_wn_fused_bf16_mxu_path(monkeypatch):
     """FLSTTSC_WN_MXU=bf16 feeds the kernel's matmuls bf16 operands with f32
     accumulation — values/grads must track the f32 path to mixed-precision

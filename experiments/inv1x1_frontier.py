@@ -51,8 +51,9 @@ def main():
     xs_, ys_ = make_arrays(20, 1, 150, 4, seed=1)
     lt = np.asarray([sorted(set(yt_)).index(v) for v in yt_])
     ls = np.asarray([sorted(set(ys_)).index(v) for v in ys_])
-    xt, yt = epoch_batches(xt_, lt, jax.random.PRNGKey(2), 20)
-    xs, ys = epoch_batches(xs_, ls, jax.random.PRNGKey(3), 20)
+    # make_arrays is (N, C, T); the pipeline consumes channel-last (N, T, C)
+    xt, yt = epoch_batches(np.transpose(xt_, (0, 2, 1)), lt, jax.random.PRNGKey(2), 20)
+    xs, ys = epoch_batches(np.transpose(xs_, (0, 2, 1)), ls, jax.random.PRNGKey(3), 20)
     xt, yt, xs, ys = (jnp.asarray(a) for a in (xt, yt, xs, ys))
 
     def timed_step():
@@ -71,7 +72,7 @@ def main():
     # ---- batched-slogdet variant: one [n_flows,C,C] slogdet up front -------
     orig_forward = flow_mod.waveglow_forward
 
-    def batched_forward(params, x, n_wn_ch, log_s_clamp=0.0):
+    def batched_forward(params, x, n_wn_ch, log_s_clamp=0.0, xgrad_only=False):
         n_flows = len(params["convinv"])
         ws = jnp.stack([params["convinv"][k]["weight"] for k in range(n_flows)])
         _, logdets = jnp.linalg.slogdet(ws)  # ONE batched LU for all flows
@@ -84,7 +85,9 @@ def main():
             log_det_w_list.append(b * t * logdets[k])
             n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-            output = flow_mod.wn_apply(params["wn"][k], audio_0, n_wn_ch)
+            output = flow_mod.wn_apply(
+                params["wn"][k], audio_0, n_wn_ch, xgrad_only=xgrad_only
+            )
             bb = output[..., :n_half]
             log_s = flow_mod._soft_clamp(output[..., n_half:], log_s_clamp)
             audio_1, _ = flow_mod.affine_coupling_forward(audio_1, log_s, bb)

@@ -65,7 +65,17 @@ def main():
             for seed in range(k)
         ]
         data = MultiRunData.from_pairs(pairs)
-        pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, PipelineConfig())
+        cfg = PipelineConfig()
+        if os.environ.get("FLSTTSC_FAST_PULLBACKS"):
+            # measure the GradNorm-pullback knobs through this sweep
+            # (see experiments/xonly_pullbacks_bench.py); tag the results
+            # file with FLSTTSC_MULTIRUN_TAG=fastpulls
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, xonly_pullbacks=True, merged_pullbacks=True
+            )
+        pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, cfg)
         mpipe = MultiRunStylePipeline(pipe)
         states = mpipe.init_states(list(range(k)))
         skeys = jax.vmap(jax.random.PRNGKey)(jnp.arange(k) + 1)

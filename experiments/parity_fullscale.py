@@ -248,7 +248,11 @@ def run_ours_vmapped(seeds):
     """ALL seeds' full curricula as ONE vmapped program (train/multirun.py —
     the chip-filling path, VERDICT r2 #1).  Each seed sees the same data and
     key discipline as `run_ours`, so rows are comparable; also merges an
-    aggregate row with the K-run wall clock."""
+    aggregate row with the K-run wall clock.
+
+    Seeds may be ``data:init`` pairs (see `main`) — several init seeds on
+    the SAME data pair sample ours' per-pair accuracy distribution, which
+    is what a paired comparison against `reference_seed{data}` needs."""
     import time as _time
 
     from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
@@ -265,9 +269,9 @@ def run_ours_vmapped(seeds):
     pairs = [
         {
             k: (np.transpose(v[0], (0, 2, 1)), v[1])
-            for k, v in get_pair(seed).items()
+            for k, v in get_pair(ds).items()
         }
-        for seed in seeds
+        for ds, _ in seeds
     ]
     data = MultiRunData.from_pairs(pairs)
     pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, PipelineConfig())
@@ -275,13 +279,14 @@ def run_ours_vmapped(seeds):
     accs = []
     t0 = _time.perf_counter()
     states, history = mpipe.run(
-        data, seeds, epochs=EPOCHS,
+        data, [init for _, init in seeds], epochs=EPOCHS,
         eval_hook=lambda e, st, a: accs.append(np.asarray(a["target_test_acc"])),
     )
     wall = _time.perf_counter() - t0
     accs = np.stack(accs)  # [n_evals, K]
-    for i, seed in enumerate(seeds):
-        _merge(f"ours_vmap_seed{seed}", {
+    for i, (ds, init) in enumerate(seeds):
+        name = f"ours_vmap_seed{ds}" if ds == init else f"ours_vmap_d{ds}_i{init}"
+        _merge(name, {
             "final_test_acc": float(accs[-1, i]),
             "best_test_acc": float(accs[:, i].max()),
             "last10_mean": float(accs[-10:, i].mean()),
@@ -301,17 +306,26 @@ def run_ours_vmapped(seeds):
 
 def main():
     side = sys.argv[1]
-    seeds = [int(s) for s in sys.argv[2:]] or [0]
+    # each seed arg is either N (data seed == init seed) or DATA:INIT —
+    # the latter runs a fresh init on an existing pair for paired stats
+    raw = sys.argv[2:] or ["0"]
+    seeds = [
+        tuple(int(p) for p in s.split(":")) if ":" in s else (int(s), int(s))
+        for s in raw
+    ]
     if side == "ours_vmap":
         run_ours_vmapped(seeds)
         return
-    for seed in seeds:
+    for ds, init in seeds:
         if side == "reference":
-            run_reference(seed)
+            assert ds == init, "reference side takes plain seeds"
+            run_reference(ds)
         elif side == "ours_frozen_gn":
-            run_ours(seed, frozen_gradnorm=True)
+            assert ds == init
+            run_ours(ds, frozen_gradnorm=True)
         else:
-            run_ours(seed)
+            assert ds == init, "use ours_vmap for data:init pairs"
+            run_ours(ds)
 
 
 if __name__ == "__main__":

@@ -1,18 +1,31 @@
-"""Inference-only entry point: load a trained checkpoint and classify.
+"""Inference-only entry point: load trained checkpoint(s) and classify.
 
 The reference has no serving path — its closest artifacts are the
 prediction/accuracy halves of `multi_source_voting.py:368-429` (which saves
 `final_predict.npy`) and `utils.eval_model_testdata` (`utils.py:27-52`).
 This CLI is that capability as a standalone command over the checkpoints
-`cli.main` writes: restore `final_state.npz` (full state, incl. BatchNorm
-running statistics), run the fused no-grad inference path on the requested
-target split, save predictions, print accuracy.
+`cli.main` / `cli.multi_source` write:
+
+* ONE checkpoint: restore `final_state.npz` (params + BatchNorm running
+  statistics), run the fused no-grad inference path on the requested target
+  split, save predictions, print accuracy.
+* SEVERAL checkpoints (comma-separated): ensemble serving — the member
+  models are stacked along a leading model axis and evaluated as ONE vmapped
+  program (the same domain-sharded machinery as `parallel/multi_source.py`,
+  so on a pod slice the members ride different devices and the vote
+  reduction is a psum), then combined with the selected reference vote rule
+  (`multi_source_voting.py:405-429` and its two in-tree variants).  Mixed
+  checkpoint layouts are accepted: full pipeline states from `cli.main` and
+  extracted members from `cli.multi_source` are auto-detected from their
+  npz key paths.
 
 Usage:
   python -m feature_level_style_transfer_for_tsc_tpu.cli.predict \
       --target-root Multivariate_ts --target SelfRegulationSCP2 \
       --source-root Univariate_ts --source EthanolLevel \
       --checkpoint train_log/final_state.npz --out predictions
+  # ensemble over 3 members, entropy+precision vote:
+  ... --checkpoint m1.npz,m2.npz,m3.npz --vote entropy_precision
 """
 
 from __future__ import annotations
@@ -27,6 +40,27 @@ from ..train.pipeline import StyleTransferPipeline
 from .main import build_datasets
 
 
+def _load_member(path, pipe_template, member_template):
+    """Restore one ensemble member, auto-detecting the checkpoint layout.
+
+    `cli.multi_source` members store ``['params']['ext']…`` keys; full
+    pipeline states from `cli.main` store ``['params']['t_ext']…`` — in the
+    latter case the target-side (extractor, classifier) member is extracted
+    exactly like `cli.multi_source.extract_member` / the reference's
+    per-checkpoint model rebuild (multi_source_voting.py:240-279).
+    """
+    from ..io import restore_checkpoint
+
+    keys = np.load(path if path.endswith(".npz") else path + ".npz").files
+    if any("['params']['ext']" in k for k in keys):
+        return restore_checkpoint(path, member_template)
+    full = restore_checkpoint(path, pipe_template)
+    return {
+        "params": {"ext": full["params"]["t_ext"], "cls": full["params"]["t_cls"]},
+        "mstate": {"ext": full["mstate"]["t_ext"], "cls": full["mstate"]["t_cls"]},
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--target-root", required=True)
@@ -35,11 +69,16 @@ def main(argv=None):
                    help="the source the checkpoint was trained with (shapes)")
     p.add_argument("--source", required=True)
     p.add_argument("--checkpoint", required=True,
-                   help="full-state .npz written by cli.main (final_state.npz)")
+                   help="full-state .npz written by cli.main (final_state.npz); "
+                   "comma-separate several for vmapped ensemble serving "
+                   "(cli.main states and cli.multi_source members both accepted)")
     p.add_argument("--split", choices=("test", "train"), default="test")
     p.add_argument("--out", default="predictions",
                    help="prefix: writes <out>_predict.npy "
                    "(reference final_predict.npy analogue)")
+    p.add_argument("--vote", default="entropy_precision",
+                   choices=("entropy_precision", "entropy_only", "predicted_label"),
+                   help="ensemble vote rule (multi-checkpoint only)")
     p.add_argument("--budget-multiplier", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -61,20 +100,63 @@ def main(argv=None):
     # and the opt pytree layout depends on training-time config knobs
     # (e.g. fused_optimizers) this CLI doesn't know — a full-state restore
     # would fail on any layout mismatch.
-    restored = restore_checkpoint(
-        args.checkpoint,
-        {"params": template["params"], "mstate": template["mstate"]},
-    )
-    state = dict(template)
-    state.update(restored)
+    pipe_template = {"params": template["params"], "mstate": template["mstate"]}
 
     ds = t_test if args.split == "test" else t_train
-    preds = pipe.predict_target(state, ds.x)
+    paths = args.checkpoint.split(",")
+
+    if len(paths) == 1:
+        restored = restore_checkpoint(paths[0], pipe_template)
+        state = dict(template)
+        state.update(restored)
+        preds = pipe.predict_target(state, ds.x)
+        member_accs = None
+    else:
+        from ..evaluation.voting import entropy_only_vote, predicted_label_vote
+        from ..parallel import MultiSourceEnsemble, make_mesh
+        from ..train.classifier import OSCNNClassifier
+
+        model_def = OSCNNClassifier(
+            t_train.in_channel, t_train.time_length, t_train.num_class,
+            config=cfg, with_cpc=False,
+        )
+        st = model_def.init_state(jax.random.PRNGKey(0))
+        member_template = {"params": st["params"], "mstate": st["mstate"]}
+        members = [_load_member(pp, pipe_template, member_template) for pp in paths]
+
+        mesh = None
+        if len(jax.devices()) >= len(members):
+            mesh = make_mesh(data=1, domain=len(members),
+                             devices=jax.devices()[:len(members)])
+        ens = MultiSourceEnsemble(
+            t_train.in_channel, t_train.time_length, t_train.num_class,
+            config=cfg, mesh=mesh,
+        )
+        stacked = ens.stack(members)
+        # Precision weights always come from the target TRAIN split
+        # (reference :281-367), regardless of which split is scored.
+        weights = ens.compute_class_weights(stacked, t_train.x, t_train.y)
+        logits = ens.member_logits(stacked, jax.numpy.asarray(ds.x))
+        if args.vote == "entropy_precision":
+            preds = np.asarray(ens.predict(stacked, ds.x, weights))
+        elif args.vote == "entropy_only":
+            preds = np.asarray(entropy_only_vote(logits))
+        else:
+            preds = np.asarray(predicted_label_vote(logits, weights))
+        member_accs = [
+            float(np.mean(np.asarray(jax.numpy.argmax(l, -1)) == ds.y))
+            for l in logits
+        ]
+
     out_path = f"{args.out}_predict.npy"
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.save(out_path, preds)
     acc = float(np.mean(preds == ds.y))
-    print(f"n={len(preds)} split={args.split} accuracy={acc:.4f} -> {out_path}")
+    extra = (
+        f" vote={args.vote} members={[round(a, 4) for a in member_accs]}"
+        if member_accs is not None else ""
+    )
+    print(f"n={len(preds)} split={args.split} accuracy={acc:.4f}{extra} -> {out_path}")
     return acc
 
 

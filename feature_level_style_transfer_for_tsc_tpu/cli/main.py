@@ -66,15 +66,47 @@ def main(argv=None):
     )
     os.makedirs(args.out, exist_ok=True)
 
+    def target_member(state):
+        # reference utils.save_target_classification_modules (utils.py:9-15):
+        # target extractor + classifier state_dicts. A torch state_dict
+        # includes BN buffers, so mstate rides along — and this is exactly the
+        # member layout cli.multi_source / cli.predict ensemble-serving load
+        # (multi_source_voting.py:265-279 consumes these epoch tars).
+        return {
+            "params": {"ext": state["params"]["t_ext"], "cls": state["params"]["t_cls"]},
+            "mstate": {"ext": state["mstate"]["t_ext"], "cls": state["mstate"]["t_cls"]},
+        }
+
+    def source_member(state):
+        # reference utils.save_source_classification_modules (utils.py:18-25):
+        # source extractor + DimensionUnification + source classifier.
+        return {
+            "params": {"ext": state["params"]["s_ext"],
+                       "dim_uni": state["params"]["dim_uni"],
+                       "cls": state["params"]["s_cls"]},
+            # DimensionUnification has no BN buffers -> no mstate entry
+            "mstate": {"ext": state["mstate"]["s_ext"],
+                       "cls": state["mstate"]["s_cls"]},
+        }
+
     def checkpoint_hook(epoch, state):
-        save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"), state["params"])
+        # train_and_test.py:780-781 saves both sides at the eval cadence
+        save_checkpoint(os.path.join(args.out, f"epoch_{epoch}.npz"),
+                        target_member(state))
+        save_checkpoint(os.path.join(args.out, f"epoch_{epoch}_source.npz"),
+                        source_member(state))
 
     def phase_checkpoint_hook(phase, state):
-        # analogue of the reference's post-phase-3 classifier_itself.tar
+        # analogue of the reference's post-phase-3 classifier_itself.tar pair
         # (train_and_test.py:364-372), generalized to every phase boundary;
-        # these params-only files feed cli.multi_source --member-checkpoints
+        # the target-side file feeds cli.multi_source --member-checkpoints
         save_checkpoint(
-            os.path.join(args.out, f"{phase}_classifier_itself.npz"), state["params"]
+            os.path.join(args.out, f"{phase}_target_classifier_itself.npz"),
+            target_member(state),
+        )
+        save_checkpoint(
+            os.path.join(args.out, f"{phase}_source_classifier_itself.npz"),
+            source_member(state),
         )
 
     state = None

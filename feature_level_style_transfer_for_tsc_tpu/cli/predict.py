@@ -40,19 +40,24 @@ from ..train.pipeline import StyleTransferPipeline
 from .main import build_datasets
 
 
+def _is_member_layout(path):
+    """True when the checkpoint is a `cli.multi_source` member (keys under
+    ``['params']['ext']…``) rather than a full `cli.main` pipeline state
+    (``['params']['t_ext']…``)."""
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        return any("['params']['ext']" in k for k in z.files)
+
+
 def _load_member(path, pipe_template, member_template):
     """Restore one ensemble member, auto-detecting the checkpoint layout.
 
-    `cli.multi_source` members store ``['params']['ext']…`` keys; full
-    pipeline states from `cli.main` store ``['params']['t_ext']…`` — in the
-    latter case the target-side (extractor, classifier) member is extracted
-    exactly like `cli.multi_source.extract_member` / the reference's
-    per-checkpoint model rebuild (multi_source_voting.py:240-279).
+    For a full pipeline state the target-side (extractor, classifier) member
+    is extracted exactly like `cli.multi_source.extract_member` / the
+    reference's per-checkpoint model rebuild (multi_source_voting.py:240-279).
     """
     from ..io import restore_checkpoint
 
-    keys = np.load(path if path.endswith(".npz") else path + ".npz").files
-    if any("['params']['ext']" in k for k in keys):
+    if _is_member_layout(path):
         return restore_checkpoint(path, member_template)
     full = restore_checkpoint(path, pipe_template)
     return {
@@ -103,16 +108,41 @@ def main(argv=None):
     pipe_template = {"params": template["params"], "mstate": template["mstate"]}
 
     ds = t_test if args.split == "test" else t_train
-    paths = args.checkpoint.split(",")
+    paths = [s.strip() for s in args.checkpoint.split(",") if s.strip()]
+    if not paths:
+        p.error("--checkpoint is empty after splitting on ','")
 
-    if len(paths) == 1:
+    if len(paths) == 1 and not _is_member_layout(paths[0]):
         restored = restore_checkpoint(paths[0], pipe_template)
         state = dict(template)
         state.update(restored)
         preds = pipe.predict_target(state, ds.x)
         member_accs = None
+    elif len(paths) == 1:
+        # A single cli.multi_source member: restore through the member
+        # template and classify with plain argmax (the reference's
+        # single-model path, utils.py:27-52 — voting needs >=2 models).
+        from ..train.classifier import OSCNNClassifier
+
+        model_def = OSCNNClassifier(
+            t_train.in_channel, t_train.time_length, t_train.num_class,
+            config=cfg, with_cpc=False,
+        )
+        st = model_def.init_state(jax.random.PRNGKey(0))
+        member = restore_checkpoint(
+            paths[0], {"params": st["params"], "mstate": st["mstate"]}
+        )
+        logits = model_def.predict_logits(
+            member["params"], member["mstate"], jax.numpy.asarray(ds.x)
+        )
+        preds = np.asarray(jax.numpy.argmax(logits, -1))
+        member_accs = None
     else:
-        from ..evaluation.voting import entropy_only_vote, predicted_label_vote
+        from ..evaluation.voting import (
+            entropy_only_vote,
+            entropy_precision_vote,
+            predicted_label_vote,
+        )
         from ..parallel import MultiSourceEnsemble, make_mesh
         from ..train.classifier import OSCNNClassifier
 
@@ -138,7 +168,7 @@ def main(argv=None):
         weights = ens.compute_class_weights(stacked, t_train.x, t_train.y)
         logits = ens.member_logits(stacked, jax.numpy.asarray(ds.x))
         if args.vote == "entropy_precision":
-            preds = np.asarray(ens.predict(stacked, ds.x, weights))
+            preds = np.asarray(entropy_precision_vote(logits, weights, ens.voting))
         elif args.vote == "entropy_only":
             preds = np.asarray(entropy_only_vote(logits))
         else:

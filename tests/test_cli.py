@@ -50,6 +50,32 @@ def test_cli_main_tiny(tmp_path):
     last_eval = [h for h in history if h["phase"] == "p5_eval"][-1]
     assert abs(acc - last_eval["target_test_acc"]) < 1e-6
 
+    # per-epoch checkpoints use the reference's epoch_{n}.tar layout
+    # (utils.py:9-25): extracted target member + source member, both with
+    # BN running stats — the files multi_source_voting.py:265-279 consumes.
+    epoch_ckpts = sorted(
+        f for f in os.listdir(out)
+        if f.startswith("epoch_") and not f.endswith("_source.npz")
+    )
+    assert epoch_ckpts, "p5 eval cadence should have saved epoch checkpoints"
+    ep = os.path.join(out, epoch_ckpts[-1])
+    with np.load(ep) as z:
+        assert any("['params']['ext']" in k for k in z.files)
+        assert any("['mstate']['ext']" in k for k in z.files)
+    assert os.path.exists(ep.replace(".npz", "_source.npz"))
+    # a single member-layout checkpoint drives the predict serving path too
+    acc_ep = predict_main([
+        "--target-root", root, "--target", "TinyT",
+        "--source-root", root, "--source", "TinyS",
+        "--checkpoint", ep, "--budget-multiplier", "0.02",
+        "--out", str(tmp_path / "pred_ep"),
+    ])
+    assert 0.0 <= acc_ep <= 1.0
+    assert np.load(str(tmp_path / "pred_ep_predict.npy")).shape == (10,)
+    # phase-boundary classifier_itself analogues (train_and_test.py:364-372)
+    assert os.path.exists(os.path.join(out, "p3_target_classifier_itself.npz"))
+    assert os.path.exists(os.path.join(out, "p3_source_classifier_itself.npz"))
+
 
 def test_cli_visualize(tmp_path):
     from feature_level_style_transfer_for_tsc_tpu.cli.visualize import main
@@ -76,3 +102,96 @@ def test_cli_archive_sweep(tmp_path):
     assert set(res) == {"A1", "A2"}
     # archive_sweep uses full budgets; just check it produced accuracies
     assert all("test_acc" in r for r in res.values())
+
+
+def test_cli_predict_ensemble(tmp_path):
+    """Ensemble serving (VERDICT-r3 item 5): cli.predict with several
+    checkpoints, all 3 vote rules, BOTH checkpoint layouts (cli.main
+    full-state + cli.multi_source member), matching the in-process ensemble.
+    Reference analogue: multi_source_voting.py:230-429 votes over 3
+    separately saved checkpoints."""
+    import jax
+
+    from feature_level_style_transfer_for_tsc_tpu.cli.predict import main as predict_main
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.data import TestData, TrainData
+    from feature_level_style_transfer_for_tsc_tpu.io import save_checkpoint
+    from feature_level_style_transfer_for_tsc_tpu.parallel import MultiSourceEnsemble
+    from feature_level_style_transfer_for_tsc_tpu.train.classifier import OSCNNClassifier
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import StyleTransferPipeline
+
+    root = str(tmp_path / "arch")
+    _make_archive(root, "TinyT", c=2, t=16, ncls=2, seed=0)
+    _make_archive(root, "TinyS", c=1, t=12, ncls=3, seed=5)
+    td = {}
+    t_train = TrainData(root, "TinyT/TinyT_TRAIN.ts", td)
+    t_test = TestData(root, "TinyT/TinyT_TEST.ts", td)
+    sd = {}
+    s_train = TrainData(root, "TinyS/TinyS_TRAIN.ts", sd)
+
+    cfg = PipelineConfig(budget_multiplier=0.02)
+
+    # member A: cli.main full-pipeline state layout (params['t_ext']...)
+    pipe = StyleTransferPipeline(
+        t_train.in_channel, t_train.time_length, t_train.num_class,
+        s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
+    )
+    full_state = pipe.init_state(jax.random.PRNGKey(1))
+    full_path = str(tmp_path / "full_state.npz")
+    save_checkpoint(full_path, full_state)
+
+    # member B: cli.multi_source member layout (params['ext']...)
+    model_def = OSCNNClassifier(
+        t_train.in_channel, t_train.time_length, t_train.num_class,
+        config=cfg, with_cpc=False,
+    )
+    st_b = model_def.init_state(jax.random.PRNGKey(2))
+    member_b = {"params": st_b["params"], "mstate": st_b["mstate"]}
+    member_path = str(tmp_path / "member_b.npz")
+    save_checkpoint(member_path, member_b)
+
+    # in-process expectation: same members stacked + voted directly
+    member_a = {
+        "params": {"ext": full_state["params"]["t_ext"],
+                   "cls": full_state["params"]["t_cls"]},
+        "mstate": {"ext": full_state["mstate"]["t_ext"],
+                   "cls": full_state["mstate"]["t_cls"]},
+    }
+    ens = MultiSourceEnsemble(
+        t_train.in_channel, t_train.time_length, t_train.num_class, config=cfg,
+    )
+    stacked = ens.stack([member_a, member_b])
+    weights = ens.compute_class_weights(stacked, t_train.x, t_train.y)
+    logits = ens.member_logits(stacked, jax.numpy.asarray(t_test.x))
+
+    from feature_level_style_transfer_for_tsc_tpu.evaluation.voting import (
+        entropy_only_vote, entropy_precision_vote, predicted_label_vote)
+
+    expected = {
+        "entropy_precision": np.asarray(entropy_precision_vote(logits, weights, ens.voting)),
+        "entropy_only": np.asarray(entropy_only_vote(logits)),
+        "predicted_label": np.asarray(predicted_label_vote(logits, weights)),
+    }
+
+    base_args = [
+        "--target-root", root, "--target", "TinyT",
+        "--source-root", root, "--source", "TinyS",
+        "--budget-multiplier", "0.02",
+    ]
+    for vote, exp in expected.items():
+        out = str(tmp_path / f"ens_{vote}")
+        # whitespace + trailing comma exercise the path-cleanup fix
+        predict_main(base_args + [
+            "--checkpoint", f"{full_path}, {member_path},",
+            "--vote", vote, "--out", out,
+        ])
+        got = np.load(out + "_predict.npy")
+        np.testing.assert_array_equal(got, exp)
+
+    # single member-layout checkpoint routes through the classifier path
+    out = str(tmp_path / "single_member")
+    predict_main(base_args + ["--checkpoint", member_path, "--out", out])
+    got = np.load(out + "_predict.npy")
+    solo_logits = model_def.predict_logits(
+        member_b["params"], member_b["mstate"], jax.numpy.asarray(t_test.x))
+    np.testing.assert_array_equal(got, np.asarray(jax.numpy.argmax(solo_logits, -1)))

@@ -1,0 +1,212 @@
+"""Positive-control efficacy cell: style transfer vs target-only on a pair
+with genuinely SHARED generative structure (VERDICT r3 item 1).
+
+The round-3 controls were negative on every full-scale cell — but every cell
+used `make_arrays` pairs whose class signature (a single frequency) is
+trivially learnable from 20 target labels, leaving transfer nothing to add.
+This experiment constructs the pair the method is FOR
+(`data/synthetic.make_shared_domain_pair`): identical latent class templates
+in both domains (shape-coded, not spectrum-coded), differing only in channel
+mixing, sampling rate and noise; the target is label-scarce + noisy, the
+source label-rich + clean.  Reference purpose being tested:
+/root/reference/train_and_test.py:552-561 (the style-transfer dataflow).
+
+Arms per (scarcity, seed) cell, all at the reference's FULL curriculum
+(3/70/325/600/720 = 1,718 epochs):
+  style       : the full 5-phase pipeline (ours, TPU)
+  target_only : OSCNNClassifier(+CPC) on the target alone, same epoch budget
+  reference   : the reference's own torch `train()` on the same arrays (CPU,
+                hours — run only if `style` fails to lift, to attribute the
+                failure to method vs data)
+
+Usage:
+  python experiments/positive_control.py style  [n_target:seed ...]
+  python experiments/positive_control.py target_only [n_target:seed ...]
+  python experiments/positive_control.py reference [n_target:seed ...]
+  python experiments/positive_control.py summary
+Defaults: n_target in {16, 32} x seeds {0, 1}.
+Writes/merges experiments/results_positive_control.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+from feature_level_style_transfer_for_tsc_tpu.data.synthetic import (  # noqa: E402
+    make_shared_domain_pair,
+)
+
+RESULTS = os.path.join(HERE, "results_positive_control.json")
+EPOCHS = {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}
+NUM_CLASS, C_T, T_T, C_S, T_S = 4, 2, 144, 1, 96
+N_SOURCE, N_TEST = 240, 120
+
+
+def get_pair(n_target, seed):
+    return make_shared_domain_pair(
+        n_target, N_SOURCE, N_TEST, num_class=NUM_CLASS,
+        t_target=T_T, c_target=C_T, t_source=T_S, c_source=C_S,
+        seed=seed, template_seed=seed,
+    )
+
+
+def _merge(key, row):
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+    data[key] = row
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(key, row, flush=True)
+
+
+def _datasets(pair):
+    from feature_level_style_transfer_for_tsc_tpu.data.dataset import (
+        TsClassificationData,
+    )
+
+    td = {f"c{i}": i for i in range(NUM_CLASS)}
+    sd = {f"c{i}": i for i in range(NUM_CLASS)}
+
+    def ds(name, d, tr):
+        x, y = pair[name]
+        labels = np.asarray([f"c{v}" for v in y])
+        return TsClassificationData(label_dict=d, is_train=tr, arrays=(x, labels))
+
+    return (ds("t_train", td, True), ds("t_test", td, False),
+            ds("s_train", sd, True), ds("s_test", sd, False))
+
+
+def run_style(n_target, seed):
+    import time as _time
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import (
+        StyleTransferPipeline,
+    )
+
+    t_train, t_test, s_train, s_test = _datasets(get_pair(n_target, seed))
+    cfg = PipelineConfig(seed=seed)
+    pipe = StyleTransferPipeline(C_T, T_T, NUM_CLASS, C_S, T_S, NUM_CLASS, cfg)
+    accs = []
+    t0 = _time.perf_counter()
+    pipe.run(
+        t_train, t_test, s_train, s_test, epochs=EPOCHS, verbose=False,
+        pretrain_eval_every=0, log_every=100,
+        eval_hook=lambda e, st, a: accs.append(a["target_test_acc"]),
+    )
+    _merge(f"style_n{n_target}_s{seed}", {
+        "final_test_acc": accs[-1], "best_test_acc": max(accs),
+        "last10_mean": float(np.mean(accs[-10:])), "n_evals": len(accs),
+        "wall_s": round(_time.perf_counter() - t0, 1), "epochs": EPOCHS,
+    })
+
+
+def run_target_only(n_target, seed):
+    import time as _time
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.train.classifier import (
+        OSCNNClassifier,
+    )
+
+    t_train, t_test, _, _ = _datasets(get_pair(n_target, seed))
+    cfg = PipelineConfig(seed=seed)
+    clf = OSCNNClassifier(C_T, T_T, NUM_CLASS, config=cfg, with_cpc=True)
+    t0 = _time.perf_counter()
+    _, hist = clf.fit(t_train, t_test, epochs=sum(EPOCHS.values()), verbose=False)
+    accs = [h["test_acc"] for h in hist if "test_acc" in h]
+    _merge(f"target_only_n{n_target}_s{seed}", {
+        "final_test_acc": accs[-1], "best_test_acc": max(accs),
+        "last10_mean": float(np.mean(accs[-10:])), "n_evals": len(accs),
+        "wall_s": round(_time.perf_counter() - t0, 1),
+        "epochs": sum(EPOCHS.values()),
+    })
+
+
+def run_reference(n_target, seed):
+    """The reference's own `train()` on this pair (CPU; attribution arm)."""
+    import parity_fullscale as pf
+
+    pair = get_pair(n_target, seed)
+    # reuse the patched verbatim-reference driver from parity_fullscale by
+    # pointing its get_pair at this experiment's arrays
+    import torch
+
+    import types  # noqa: F401
+
+    orig_get_pair = pf.get_pair
+    pf.get_pair = lambda _s: {k: (v[0], v[1]) for k, v in pair.items()}
+    try:
+        torch.manual_seed(seed)
+        pf.RESULTS = RESULTS  # merge into this experiment's results file
+        pf.run_reference(seed)  # writes reference_seed{seed}
+        data = json.load(open(RESULTS))
+        row = data.pop(f"reference_seed{seed}")
+        with open(RESULTS, "w") as f:
+            json.dump(data, f, indent=2)
+        _merge(f"reference_n{n_target}_s{seed}", row)
+    finally:
+        pf.get_pair = orig_get_pair
+
+
+def summarize():
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+    cells = {}
+    for k, v in data.items():
+        if not isinstance(v, dict) or "final_test_acc" not in v:
+            continue
+        for arm in ("style", "target_only", "reference"):
+            prefix = arm + "_n"
+            if k.startswith(prefix):
+                n, s = k[len(prefix):].split("_s")
+                cells.setdefault((int(n), int(s)), {})[arm] = v
+                break
+    rows, deltas = {}, []
+    for (n, s), arms in sorted(cells.items()):
+        if "style" in arms and "target_only" in arms:
+            d = arms["style"]["final_test_acc"] - arms["target_only"]["final_test_acc"]
+            rows[f"n{n}_s{s}"] = {
+                "style_final": round(arms["style"]["final_test_acc"], 4),
+                "target_only_final": round(arms["target_only"]["final_test_acc"], 4),
+                "delta_final": round(d, 4),
+                "style_best": round(arms["style"]["best_test_acc"], 4),
+                "target_only_best": round(arms["target_only"]["best_test_acc"], 4),
+                **({"reference_final": round(arms["reference"]["final_test_acc"], 4)}
+                   if "reference" in arms else {}),
+            }
+            deltas.append(d)
+    summary = {
+        "cells": rows,
+        "n_cells": len(deltas),
+        "mean_delta_final": round(float(np.mean(deltas)), 4) if deltas else None,
+        "cells_positive": int(np.sum(np.asarray(deltas) > 0)) if deltas else 0,
+    }
+    data["_summary"] = summary
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+def main():
+    side = sys.argv[1]
+    if side == "summary":
+        summarize()
+        return
+    raw = sys.argv[2:] or ["16:0", "16:1", "32:0", "32:1"]
+    cells = [tuple(int(v) for v in s.split(":")) for s in raw]
+    fn = {"style": run_style, "target_only": run_target_only,
+          "reference": run_reference}[side]
+    for n_target, seed in cells:
+        fn(n_target, seed)
+    summarize()
+
+
+if __name__ == "__main__":
+    main()

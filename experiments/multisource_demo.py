@@ -82,7 +82,70 @@ def target_only_baseline():
     return {"final": accs[-1], "best": max(accs), "epochs": total}
 
 
+def target_only_ensemble():
+    """The FAIR control (VERDICT r3 item 2): an ensemble of 5 differently-
+    seeded TARGET-ONLY members at the same per-member epoch budget + capture
+    schedule as the source-adapted members, voted with the same 3 rules —
+    isolating how much of the ensemble lift is source transfer vs plain
+    ensembling (reference vote rules: multi_source_voting.py:405-429)."""
+    import jax
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.data import TestData, TrainData
+    from feature_level_style_transfer_for_tsc_tpu.evaluation.voting import (
+        entropy_only_vote,
+        entropy_precision_vote,
+        predicted_label_vote,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.parallel import MultiSourceEnsemble
+    from feature_level_style_transfer_for_tsc_tpu.train.classifier import OSCNNClassifier
+
+    d = {}
+    tr = TrainData(ARCH, "Target/Target_TRAIN.ts", d)
+    te = TestData(ARCH, "Target/Target_TEST.ts", d)
+    pretrain = sum(v for k, v in PHASE_EPOCHS.items() if k != "p5")
+    captures = [int(c) for c in CAPTURE.split(",")]
+    members, member_accs = [], []
+    for i, cap in enumerate(captures):
+        cfg = PipelineConfig(seed=i)  # seed i matches member i's init seed
+        clf = OSCNNClassifier(
+            tr.in_channel, tr.time_length, tr.num_class, config=cfg, with_cpc=False,
+        )
+        # same effective budget as style member i: phases 1-4 + capture epoch
+        state, hist = clf.fit(tr, te, epochs=pretrain + cap, verbose=False)
+        members.append({"params": state["params"], "mstate": state["mstate"]})
+        accs = [h["test_acc"] for h in hist if "test_acc" in h]
+        member_accs.append(accs[-1])
+    ens = MultiSourceEnsemble(
+        tr.in_channel, tr.time_length, tr.num_class, config=PipelineConfig(),
+    )
+    stacked = ens.stack(members)
+    weights = ens.compute_class_weights(stacked, tr.x, tr.y)
+    logits = ens.member_logits(stacked, jax.numpy.asarray(te.x))
+    votes = {
+        "entropy_precision": np.asarray(entropy_precision_vote(logits, weights, ens.voting)),
+        "entropy_only": np.asarray(entropy_only_vote(logits)),
+        "predicted_label": np.asarray(predicted_label_vote(logits, weights)),
+    }
+    return {
+        "member_accs": member_accs,
+        "member_mean": float(np.mean(member_accs)),
+        "vote_variants": {k: float(np.mean(v == te.y)) for k, v in votes.items()},
+        "per_member_epochs": [pretrain + c for c in captures],
+    }
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "target_only_ensemble":
+        # merge the fair-control arm into the existing results
+        gen_archive()
+        row = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+        row["target_only_ensemble"] = target_only_ensemble()
+        with open(RESULTS, "w") as f:
+            json.dump(row, f, indent=2)
+        print(json.dumps(row["target_only_ensemble"], indent=2))
+        return
+
     gen_archive()
     shutil.rmtree(OUT, ignore_errors=True)
 

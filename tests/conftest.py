@@ -27,6 +27,7 @@ assert len(jax.devices()) == 8, f"expected 8 CPU devices, got {jax.devices()}"
 # Modules dominated by jit-compiles of full training epochs / e2e runs /
 # torch-reference transplants.  `pytest -m "not slow"` is the fast tier.
 SLOW_MODULES = {
+    "test_compat",
     "test_pipeline",
     "test_parallel",
     "test_baselines",

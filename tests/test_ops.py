@@ -276,6 +276,7 @@ def test_flow_conv_impl_pallas_matches(monkeypatch):
         )
 
 
+@pytest.mark.slow  # interpret-mode Pallas on CPU: ~1-2 min each
 @pytest.mark.parametrize("shape", [(4, 150, 65), (2, 96, 33), (3, 40, 8)])
 def test_wn_fused_matches_wn_apply(monkeypatch, shape):
     """ops/wn_fused.py (single-kernel coupling net, hand-written VJP) matches
@@ -314,6 +315,7 @@ def test_wn_fused_matches_wn_apply(monkeypatch, shape):
         np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))
 
 
+@pytest.mark.slow  # interpret-mode Pallas on CPU: ~1-2 min each
 def test_wn_fused_vmap_per_run_params(monkeypatch):
     """Vmapped wn_apply_fused with stacked per-run params (the
     train/multirun.py regime) equals per-run sequential application."""
@@ -353,6 +355,7 @@ def test_wn_fused_vmap_per_run_params(monkeypatch):
         np.testing.assert_allclose(vb, va, rtol=5e-4, atol=5e-4, err_msg=str(pa))
 
 
+@pytest.mark.slow  # interpret-mode Pallas on CPU: ~1-2 min each
 def test_wn_fused_xgrad_only(monkeypatch):
     """xgrad_only=True (GradNorm trunk-pullback contract): identical primal,
     d/dx equal to the full core's d/dx, and every weight/bias cotangent an
@@ -409,6 +412,7 @@ def test_wn_fused_xgrad_only(monkeypatch):
     np.testing.assert_allclose(gxk[0], gx_full, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # interpret-mode Pallas on CPU: ~1-2 min each
 def test_wn_fused_bf16_mxu_path(monkeypatch):
     """FLSTTSC_WN_MXU=bf16 feeds the kernel's matmuls bf16 operands with f32
     accumulation — values/grads must track the f32 path to mixed-precision

@@ -7,9 +7,13 @@ the production loader (native C++ or python .ts parser), NOT arrays from
 data/synthetic.py.  Mirrors the reference's own usage
 (/root/reference/main.py:7-11 -> DataSource.TrainData/TestData).
 
-Usage: python experiments/vendored_e2e.py [--full]
+Usage: python experiments/vendored_e2e.py [--full] [--multivariate]
   default: shortened curriculum (minutes on the v5e)
   --full:  the reference's complete 3/70/325/600/720
+  --multivariate: VendSCP2 (datasets/Multivariate_ts, 2 channels) as the
+    target — the reference main.py's own target is multivariate
+    (/root/reference/main.py:7-8); exercises the ':'-separated-dimension
+    parser path from disk through cli.main + cli.predict.
 Writes experiments/results_vendored_e2e.json.
 """
 
@@ -29,7 +33,8 @@ RESULTS = os.path.join(HERE, "results_vendored_e2e.json")
 
 def main():
     full = "--full" in sys.argv
-    out = os.path.join("/tmp", "vendored_e2e")
+    multivariate = "--multivariate" in sys.argv
+    out = os.path.join("/tmp", "vendored_e2e" + ("_mv" if multivariate else ""))
     phase_epochs = (
         {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}
         if full
@@ -39,11 +44,17 @@ def main():
     from feature_level_style_transfer_for_tsc_tpu.cli import main as cli_main
     from feature_level_style_transfer_for_tsc_tpu.cli import predict as cli_predict
 
+    if multivariate:
+        target_root = os.path.join(REPO, "datasets", "Multivariate_ts")
+        target = "VendSCP2"
+    else:
+        target_root = os.path.join(REPO, "datasets", "Univariate_ts")
+        target = "VendGunPoint"
     root = os.path.join(REPO, "datasets", "Univariate_ts")
     t0 = time.perf_counter()
     cli_main.main(
         [
-            "--target-root", root, "--target", "VendGunPoint",
+            "--target-root", target_root, "--target", target,
             "--source-root", root, "--source", "VendEthanol",
             "--out", out,
             "--phase-epochs", json.dumps(phase_epochs),
@@ -53,7 +64,7 @@ def main():
 
     acc = cli_predict.main(
         [
-            "--target-root", root, "--target", "VendGunPoint",
+            "--target-root", target_root, "--target", target,
             "--source-root", root, "--source", "VendEthanol",
             "--checkpoint", os.path.join(out, "final_state.npz"),
             "--out", os.path.join(out, "final"),
@@ -65,8 +76,11 @@ def main():
         r["target_test_acc"] for r in history if r.get("phase") == "p5_eval"
     ]
     row = {
-        "dataset": "VendGunPoint <- VendEthanol (vendored archive-format files)",
-        "loader": "production .ts path (datasets/Univariate_ts on disk)",
+        "dataset": f"{target} <- VendEthanol (vendored archive-format files)",
+        "loader": "production .ts path ("
+        + ("Multivariate_ts target, ':'-separated dimensions"
+           if multivariate else "datasets/Univariate_ts")
+        + " on disk)",
         "phase_epochs": phase_epochs,
         "train_wall_s": round(train_wall, 1),
         "predict_cli_test_acc": acc,
@@ -76,7 +90,10 @@ def main():
     data = {}
     if os.path.exists(RESULTS):
         data = json.load(open(RESULTS))
-    data["full" if full else "short"] = row
+    key = "full" if full else "short"
+    if multivariate:
+        key = "multivariate_" + key
+    data[key] = row
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=2)
     print(json.dumps(row, indent=2))

@@ -75,7 +75,7 @@ def _merge(row_key, row):
 # reference side
 # ---------------------------------------------------------------------------
 
-def run_reference(seed):
+def run_reference(seed, scratch_name=None):
     import types
 
     import torch
@@ -96,7 +96,7 @@ def run_reference(seed):
     sys.path.insert(0, "/root/reference")
 
     # scratch cwd: train() writes logs/checkpoints with relative paths
-    scratch = os.path.join(HERE, f"_ref_fullscale_seed{seed}")
+    scratch = os.path.join(HERE, scratch_name or f"_ref_fullscale_seed{seed}")
     for sub in ("train_log", "numpy_saved_with_accuracy/feature_of_target_s2t",
                 "numpy_saved_with_accuracy/feature_of_source_t2s"):
         os.makedirs(os.path.join(scratch, sub), exist_ok=True)

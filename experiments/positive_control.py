@@ -146,7 +146,12 @@ def run_reference(n_target, seed):
     try:
         torch.manual_seed(seed)
         pf.RESULTS = RESULTS  # merge into this experiment's results file
-        pf.run_reference(seed)  # writes reference_seed{seed}
+        # unique scratch per CELL: two cells share a seed (n16_s0 / n32_s0),
+        # and the reference's the_log.txt is append-only — a shared dir
+        # would concatenate both curves and corrupt the parse
+        pf.run_reference(
+            seed, scratch_name=f"_ref_poscontrol_n{n_target}_s{seed}"
+        )  # writes reference_seed{seed}
         data = json.load(open(RESULTS))
         row = data.pop(f"reference_seed{seed}")
         with open(RESULTS, "w") as f:

@@ -42,7 +42,10 @@ N_TRAIN, N_TEST = 20, 60
 T_T, C_T, N_CLS_T = 150, 1, 4
 T_S, C_S, N_CLS_S = 150, 1, 4
 NOISE_T, NOISE_S = 2.5, 1.5
-RESULTS = os.path.join(HERE, "results_parity_fullscale.json")
+_TAG = os.environ.get("FLSTTSC_PARITY_TAG", "")
+RESULTS = os.path.join(
+    HERE, f"results_parity_fullscale{'_' + _TAG if _TAG else ''}.json"
+)
 EPOCHS = {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}  # reference defaults
 
 

@@ -23,7 +23,16 @@ step() {
 #    results_pullback_batched_cotangent.json; this decides the knob's fate)
 step 1 3600 env FLSTTSC_FAST_PULLBACKS=stacked FLSTTSC_MULTIRUN_TAG=stacked \
   python experiments/multirun_scale.py 1 8 16
-# 2. fresh default-path sweep at the same commit (fair A/B denominator)
+# 2. fresh default-path sweep at the same commit (fair A/B denominator;
+#    picks up the round-4 default flip xonly_pullbacks=True)
 step 2 3600 env FLSTTSC_MULTIRUN_TAG=default_r4 \
   python experiments/multirun_scale.py 1 8 16
+# 3. stacked ON TOP of xonly (rows batched through the xonly pullback)
+step 3 3600 env FLSTTSC_FAST_PULLBACKS=xonly,stacked FLSTTSC_MULTIRUN_TAG=xonly_stacked \
+  python experiments/multirun_scale.py 1 8 16
+# 4. full-curriculum sanity at the new default: 8 vmapped seeds, final accs
+#    must land in the recorded band (tagged file, does not touch the
+#    committed parity evidence)
+step 4 7200 env FLSTTSC_PARITY_TAG=r4_default \
+  python experiments/parity_fullscale.py ours_vmap 0 1 2 3 4 5 6 7
 echo "TPU QUEUE3 DONE $(date)" | tee -a $LOG

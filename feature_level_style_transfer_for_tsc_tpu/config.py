@@ -103,12 +103,16 @@ class PipelineConfig:
     #: never read); trunk norms bitwise-equal — tests/test_multirun.py.
     #: Measured 1.15x phase-5 step alone, 1.27x with merged_pullbacks
     #: (experiments/results_xonly_pullbacks.json) and GradNorm trajectories
-    #: exactly equal at K<=8 — but OFF by default: the extra vjp reshapes
-    #: XLA's schedule enough to perturb pull(0)'s grads at the fp level,
-    #: which RMSprop's sign-like first steps amplify; in the K=16 vmapped
-    #: sweep 2/16 runs went non-finite by epoch 5 where the default program
-    #: stays tame (docs/DESIGN.md "K=16 hazard").  Opt in where measured.
-    xonly_pullbacks: bool = False
+    #: exactly equal at K<=8.  Round 3 parked it OFF after 2/16 K=16 runs
+    #: went non-finite by epoch 5 (an fp-schedule perturbation of pull(0)
+    #: amplified by RMSprop's sign-like first steps).  Round 4's
+    #: seed-controlled sweep (experiments/results_xonly_stability.json:
+    #: 3 data seeds x 2 log_s_clamp x 16 runs x 8 epochs, same protocol and
+    #: scale, window covering the original failure epoch) found **0/96**
+    #: non-finite — the basin was an artifact of that exact program version,
+    #: not a property of the knob (full ledger in docs/DESIGN.md).  Default
+    #: ON since round 4.
+    xonly_pullbacks: bool = True
     #: merge the GradNorm trunk pulls whose cross-trunk gradients are
     #: structurally ZERO: t_nf depends only on the t_ext trunk and s_nf only
     #: on s_ext (the pair-batched flow is per-sample), so ONE pullback
@@ -117,6 +121,17 @@ class PipelineConfig:
     #: (tests/test_multirun.py).  Default ON: measured 1.16x alone, 1.27x
     #: with xonly_pullbacks (experiments/results_xonly_pullbacks.json).
     merged_pullbacks: bool = True
+    #: batch the flow-traversing GradNorm pulls — total, nf-merged, s2t2s
+    #: (xonly: nf-merged + s2t2s) — as ONE vmapped pullback over a stacked
+    #: cotangent matrix instead of sequential calls, so the flow backward
+    #: (the dominant phase-5 cost under the K-run vmap,
+    #: results_vmap_phase5_breakdown.json fwd_vjp6 7.2x at K=8) runs once
+    #: with a size-3 cotangent batch rather than three times.  The
+    #: classifier-only pull stays separate so its constant-seed DCE keeps
+    #: skipping the flow entirely.  Same pullback linear map, batched —
+    #: equality tested in tests/test_multirun.py; measured on-chip before
+    #: any default flip (experiments/pullback_batched_cotangent.py).
+    stacked_pullbacks: bool = False
 
     target_pretrain_epochs: int = 3  # reference :143
     source_pretrain_epochs: int = 70  # reference :182

@@ -707,11 +707,12 @@ class StyleTransferPipeline:
                 leaves = jax.tree_util.tree_leaves(g[trunk_key]["block"])
                 return jnp.sum(jnp.stack([jnp.linalg.norm(l.reshape(-1)) for l in leaves]))
 
-            # (Measured alternative: vmapping the pullback over eye(6) to
-            # batch the 6 backwards into one loses the constant-seed DCE —
-            # every pull then traverses the full graph — and ran 0.40x on
-            # the v5e.  The one-hot-constant form below is the winner.)
-            grads = pull(0)
+            # (Measured alternative: vmapping the pullback over ALL of
+            # eye(6) to batch the 6 backwards into one loses the
+            # constant-seed DCE — every pull then traverses the full graph —
+            # and ran 0.40x on the v5e.  config.stacked_pullbacks batches
+            # only the flow-traversing rows instead, keeping the
+            # classifier pull's DCE.)
             if cfg.merged_pullbacks:
                 # Structural-zero merge: t_nf sees only the t_ext trunk and
                 # s_nf only s_ext (waveglow_forward_pair is per-sample, so
@@ -727,9 +728,40 @@ class StyleTransferPipeline:
                     (g,) = pb(jnp.asarray(seed))
                     return g
 
-                g_nf = pull_seed(eye[1] + eye[3], pullback_n)
+                if cfg.stacked_pullbacks:
+                    # Batch the flow-traversing pulls — [total,] nf-merged,
+                    # s2t2s — as ONE vmapped pullback over a stacked
+                    # cotangent matrix: the flow backward (dominant under
+                    # the K-run vmap, results_vmap_phase5_breakdown.json)
+                    # runs once with a small cotangent batch instead of
+                    # once per pull.  The classifier pull stays separate:
+                    # its constant one-hot seed lets XLA's DCE skip the
+                    # flow backward entirely, which batching would forfeit.
+                    # Same pullback linear map, batched (exactness tested
+                    # in tests/test_multirun.py).
+                    if cfg.xonly_pullbacks:
+                        # pullback_n is a different closure (xonly flows):
+                        # batch its two rows; total keeps its own backward.
+                        rows = np.stack([eye[1] + eye[3], eye[5]])
+                        g_rows = jax.vmap(lambda s: pullback_n(s)[0])(
+                            jnp.asarray(rows)
+                        )
+                        grads = pull(0)
+                        i_nf = 0
+                    else:
+                        rows = np.stack([eye[0], eye[1] + eye[3], eye[5]])
+                        g_rows = jax.vmap(lambda s: pullback(s)[0])(
+                            jnp.asarray(rows)
+                        )
+                        grads = jax.tree_util.tree_map(lambda l: l[0], g_rows)
+                        i_nf = 1
+                    g_nf = jax.tree_util.tree_map(lambda l: l[i_nf], g_rows)
+                    g_5 = jax.tree_util.tree_map(lambda l: l[i_nf + 1], g_rows)
+                else:
+                    grads = pull(0)
+                    g_nf = pull_seed(eye[1] + eye[3], pullback_n)
+                    g_5 = pull_seed(eye[5], pullback_n)
                 g_c = pull_seed(eye[2] + eye[4], pullback_n)
-                g_5 = pull_seed(eye[5], pullback_n)
                 n_t = jnp.stack(
                     [trunk_norm(g_nf, "t_ext"), trunk_norm(g_c, "t_ext")]
                 )
@@ -738,6 +770,7 @@ class StyleTransferPipeline:
                      trunk_norm(g_5, "s_ext")]
                 )
             else:
+                grads = pull(0)
                 n_t = jnp.stack(
                     [trunk_norm(pull(i, pullback_n), "t_ext") for i in (1, 2)]
                 )

@@ -236,11 +236,12 @@ def test_phase5_epoch_fast_pullbacks_exact(monkeypatch):
 
     t_train, _, s_train, _ = make_pair(13)
 
-    def one_epoch(use_pallas, xonly, merged):
+    def one_epoch(use_pallas, xonly, merged, stacked=False):
         monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1" if use_pallas else "0")
         monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
         cfg = dataclasses.replace(
-            tiny_cfg(seed=13), xonly_pullbacks=xonly, merged_pullbacks=merged
+            tiny_cfg(seed=13), xonly_pullbacks=xonly, merged_pullbacks=merged,
+            stacked_pullbacks=stacked,
         )
         pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
         state = pipe.init_state(jax.random.PRNGKey(13))
@@ -276,4 +277,47 @@ def test_phase5_epoch_fast_pullbacks_exact(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
                 err_msg=f"param {p} ({tag})",
+            )
+
+
+def test_phase5_epoch_stacked_pullbacks_tracks(monkeypatch):
+    """config.stacked_pullbacks batches the flow-traversing GradNorm pulls
+    as ONE vmapped pullback over a stacked cotangent matrix.  It applies the
+    SAME pullback linear map, but batched execution reassociates at the fp
+    level, and RMSprop's first steps amplify sign flips on near-zero grad
+    elements into O(10*lr) param deltas (the xonly hazard mechanism,
+    docs/DESIGN.md) — so the knob is opt-in and this asserts TRACKING of the
+    epoch metrics (losses + GradNorm weights, which consume the per-loss
+    trunk norms), not bitwise equality.  Measured absdiffs on this geometry:
+    metrics <= 1.7e-4, gradnorm weights <= 2.4e-7."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    t_train, _, s_train, _ = make_pair(13)
+
+    def one_epoch(stacked, xonly=False):
+        monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1")
+        monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
+        cfg = dataclasses.replace(
+            tiny_cfg(seed=13), merged_pullbacks=True, xonly_pullbacks=xonly,
+            stacked_pullbacks=stacked,
+        )
+        pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
+        state = pipe.init_state(jax.random.PRNGKey(13))
+        nb = 2
+        xt = jnp.asarray(t_train.x[: 4 * nb]).reshape(nb, 4, *t_train.x.shape[1:])
+        yt = jnp.asarray(t_train.y[: 4 * nb]).reshape(nb, 4)
+        xs = jnp.asarray(s_train.x[: 4 * nb]).reshape(nb, 4, *s_train.x.shape[1:])
+        ys = jnp.asarray(s_train.y[: 4 * nb]).reshape(nb, 4)
+        _, metrics = pipe.phase5_epoch(state, xt, yt, xs, ys, jnp.asarray(0))
+        return {k: np.asarray(v) for k, v in metrics.items()}
+
+    m0 = one_epoch(False)
+    for xonly in (False, True):
+        m1 = one_epoch(True, xonly)
+        for k in m0:
+            np.testing.assert_allclose(
+                m1[k], m0[k], rtol=2e-3, atol=1e-3,
+                err_msg=f"metric {k} (stacked, xonly={xonly})",
             )

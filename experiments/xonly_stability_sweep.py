@@ -13,9 +13,15 @@ GunPoint scale):
   2. Does `log_s_clamp=2.0` (the flow's opt-in log-scale soft-clamp) tame it?
 
 Grid: data_offset in {0, 100, 200} x log_s_clamp in {0.0, 2.0}, K=16,
-xonly+merged ON, 8 phase-5 epochs, per-run finiteness checked after every
-epoch.  A cell row records the first non-finite epoch per run (-1 = stayed
-finite).
+xonly+merged ON, per-run finiteness checked after every epoch.  A cell row
+records the first non-finite epoch per run (-1 = stayed finite).
+
+ROUND-4 POSTSCRIPT — the 8-epoch window was too short.  The original run
+of this sweep (8 epochs, 0/96 non-finite) prompted a default flip to ON;
+the standard 30-epoch K=16 timing sweep under that default immediately
+went non-finite (queue3 step 2) — the basin had moved past epoch 8, not
+vanished.  The flip was reverted (docs/DESIGN.md "K=16 hazard") and the
+default window here is now 30 epochs to match the sweep this gates.
 
 Usage: python experiments/xonly_stability_sweep.py [epochs]
 Writes experiments/results_xonly_stability.json.
@@ -93,7 +99,7 @@ def run_cell(data_offset: int, log_s_clamp: float, n_epochs: int):
 
 
 def main():
-    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     rows = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
     for off in (0, 100, 200):
         for clamp in (0.0, 2.0):

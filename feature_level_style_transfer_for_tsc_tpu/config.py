@@ -103,16 +103,17 @@ class PipelineConfig:
     #: never read); trunk norms bitwise-equal — tests/test_multirun.py.
     #: Measured 1.15x phase-5 step alone, 1.27x with merged_pullbacks
     #: (experiments/results_xonly_pullbacks.json) and GradNorm trajectories
-    #: exactly equal at K<=8.  Round 3 parked it OFF after 2/16 K=16 runs
-    #: went non-finite by epoch 5 (an fp-schedule perturbation of pull(0)
-    #: amplified by RMSprop's sign-like first steps).  Round 4's
-    #: seed-controlled sweep (experiments/results_xonly_stability.json:
-    #: 3 data seeds x 2 log_s_clamp x 16 runs x 8 epochs, same protocol and
-    #: scale, window covering the original failure epoch) found **0/96**
-    #: non-finite — the basin was an artifact of that exact program version,
-    #: not a property of the knob (full ledger in docs/DESIGN.md).  Default
-    #: ON since round 4.
-    xonly_pullbacks: bool = True
+    #: exactly equal at K<=8.  OFF by default — the K=16 non-finite hazard
+    #: is real: round 3 saw 2/16 vmapped runs blow up by epoch 5 (an
+    #: fp-schedule perturbation of pull(0) amplified by RMSprop's sign-like
+    #: first steps); round 4's 8-epoch seed-controlled sweep
+    #: (experiments/results_xonly_stability.json) found 0/96 and the default
+    #: was briefly flipped ON, but the 30-epoch K=16 timing sweep under the
+    #: flipped default immediately hit non-finite params again — the basin
+    #: had only moved past the sweep's window (full ledger in
+    #: docs/DESIGN.md "K=16 hazard").  Opt in for K<=8 regimes where the
+    #: GradNorm-weight equality was measured (absdiff 0.0).
+    xonly_pullbacks: bool = False
     #: merge the GradNorm trunk pulls whose cross-trunk gradients are
     #: structurally ZERO: t_nf depends only on the t_ext trunk and s_nf only
     #: on s_ext (the pair-batched flow is per-sample), so ONE pullback

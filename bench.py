@@ -65,6 +65,10 @@ def _synth(seed, b, t, c, ncls):
 # full phase-5 batch body incl. GradNorm (train_and_test.py:539-766).
 # ---------------------------------------------------------------------------
 
+
+def _stage(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 def measure_reference_cpu() -> float:
     import torch
 
@@ -420,14 +424,17 @@ def main():
     if os.environ.get("BENCH_SKIP_REFERENCE") and "reference_production_series_per_sec" in cache:
         baseline = cache["reference_production_series_per_sec"]
     else:
+        _stage("measuring reference torch baseline on CPU")
         baseline = measure_reference_cpu()
         cache["reference_production_series_per_sec"] = baseline
         json.dump(cache, open(CACHE_FILE, "w"))
-
+    _stage(f"baseline {baseline:.3f} series/s; building pipeline")
     pipe, state = _build_pipeline()
+    _stage("measuring production step (compile + timed)")
     ours, flops, step_time = measure_ours_production(pipe, state)
+    _stage(f"production {ours:.1f} series/s; measuring simple step")
     simple = measure_ours_simple(pipe, state)
-
+    _stage(f"simple {simple:.1f} series/s; measuring vmap8")
     out = {
         "metric": "phase-5 PRODUCTION train step throughput (GradNorm + staged adversarial + 11 opts, GunPoint-scale)",
         "value": round(ours, 2),
@@ -440,6 +447,7 @@ def main():
         out["mfu_vs_bf16_peak"] = round(flops / step_time / V5E_PEAK_FLOPS, 5)
     k = 8
     vmap_agg, vmap_dt = measure_ours_multirun(pipe, k=k)
+    _stage(f"vmap8 {vmap_agg:.1f} series/s aggregate")
     out[f"vmap{k}_aggregate_series_per_sec"] = round(vmap_agg, 2)
     out[f"vmap{k}_vs_baseline"] = round(vmap_agg / baseline, 2)
     if flops:

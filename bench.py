@@ -48,6 +48,12 @@ WARMUP_STEPS = 3
 # timed steps give a stable per-step anchor without blowing the bench budget
 REF_TIMED_STEPS = 3
 REF_WARMUP_STEPS = 1
+# the baseline denominator is pinned as the MAX over all recorded sample
+# passes (REF_PASSES fresh passes per measuring run, persisted with host-
+# load metadata in CACHE_FILE): contention only slows the reference, so the
+# least-contended observed rate is its honest speed — a single contended-
+# core pass had swung the denominator ~3x between rounds (ADVICE r4)
+REF_PASSES = 3
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
@@ -256,11 +262,14 @@ def measure_reference_cpu() -> float:
 
     for _ in range(REF_WARMUP_STEPS):
         step()
-    t0 = time.perf_counter()
-    for _ in range(REF_TIMED_STEPS):
-        step()
-    dt = (time.perf_counter() - t0) / REF_TIMED_STEPS
-    return (2 * B) / dt  # series/sec
+    rates = []
+    for _ in range(REF_PASSES):
+        t0 = time.perf_counter()
+        for _ in range(REF_TIMED_STEPS):
+            step()
+        dt = (time.perf_counter() - t0) / REF_TIMED_STEPS
+        rates.append((2 * B) / dt)  # series/sec per pass
+    return rates
 
 
 # ---------------------------------------------------------------------------
@@ -417,18 +426,56 @@ def measure_ours_multirun(pipe, k=8):
     return k * 2 * B / dt, dt
 
 
+def _load_cache():
+    try:
+        with open(CACHE_FILE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        return {"samples": []}
+    if "samples" not in cache:  # legacy scalar format
+        legacy = cache.get("reference_production_series_per_sec")
+        cache = {"samples": []}
+        if legacy is not None:
+            cache["samples"] = [{"series_per_sec": float(legacy),
+                                 "load_1m": None, "note": "legacy-r4"}]
+    return cache
+
+
+def _save_cache(cache):
+    tmp = CACHE_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    os.replace(tmp, CACHE_FILE)
+
+
 def main():
-    cache = {}
-    if os.path.exists(CACHE_FILE):
-        cache = json.load(open(CACHE_FILE))
-    if os.environ.get("BENCH_SKIP_REFERENCE") and "reference_production_series_per_sec" in cache:
-        baseline = cache["reference_production_series_per_sec"]
-    else:
-        _stage("measuring reference torch baseline on CPU")
-        baseline = measure_reference_cpu()
-        cache["reference_production_series_per_sec"] = baseline
-        json.dump(cache, open(CACHE_FILE, "w"))
-    _stage(f"baseline {baseline:.3f} series/s; building pipeline")
+    import datetime
+
+    cache = _load_cache()
+    if not (os.environ.get("BENCH_SKIP_REFERENCE") and cache["samples"]):
+        _stage("measuring reference torch baseline on CPU "
+               f"({REF_PASSES} passes x {REF_TIMED_STEPS} steps)")
+        load0 = os.getloadavg()[0]
+        for rate in measure_reference_cpu():
+            cache["samples"].append({
+                "series_per_sec": rate,
+                "load_1m": round(os.getloadavg()[0], 2),
+                "load_1m_at_start": round(load0, 2),
+                "utc": datetime.datetime.utcnow().isoformat(
+                    timespec="seconds"),
+            })
+    # The denominator is the MAX over all recorded samples: this single-core
+    # box is often contended (background experiment queues), and contention
+    # only ever makes the reference SLOWER — so the least-contended observed
+    # rate is the reference's honest speed-of-light here, and taking it is
+    # conservative against us (lowest multiplier) and stable across rounds
+    # (the r2-r4 denominators 0.998-3.119 differed by host load alone,
+    # ADVICE r4).  Absolute series/s is the headline; vs_baseline secondary.
+    baseline = float(max(s["series_per_sec"] for s in cache["samples"]))
+    cache["reference_production_series_per_sec"] = baseline
+    _save_cache(cache)
+    _stage(f"baseline {baseline:.3f} series/s "
+           f"(max of {len(cache['samples'])} samples); building pipeline")
     pipe, state = _build_pipeline()
     _stage("measuring production step (compile + timed)")
     ours, flops, step_time = measure_ours_production(pipe, state)
@@ -440,6 +487,9 @@ def main():
         "value": round(ours, 2),
         "unit": "series/sec",
         "vs_baseline": round(ours / baseline, 2),
+        "baseline_series_per_sec": round(baseline, 3),
+        "baseline_n_samples": len(cache["samples"]),
+        "baseline_load_1m": cache["samples"][-1].get("load_1m"),
         "simple_step_series_per_sec": round(simple, 2),
     }
     if flops:

@@ -14,6 +14,11 @@ Usage: python experiments/vendored_e2e.py [--full] [--multivariate]
     target — the reference main.py's own target is multivariate
     (/root/reference/main.py:7-8); exercises the ':'-separated-dimension
     parser path from disk through cli.main + cli.predict.
+  --multisource: cli.multi_source over FIVE vendored source datasets from
+    disk (VendEthanol,VendWorms,VendSkate,VendSemg,VendCoffee -> trains 5
+    members through the production parser, votes on-device with all 3 vote
+    rules; VERDICT r4 item 7).  Reference analogue: sequential `train()`
+    runs + /root/reference/multi_source_voting.py:230-429.
 Writes experiments/results_vendored_e2e.json.
 """
 
@@ -31,9 +36,50 @@ sys.path.insert(0, REPO)
 RESULTS = os.path.join(HERE, "results_vendored_e2e.json")
 
 
+def run_multisource(full: bool):
+    import time as _time
+
+    phase_epochs = (
+        {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}
+        if full
+        else {"p1": 2, "p2": 10, "p3": 20, "p4": 30, "p5": 40}
+    )
+    out = "/tmp/vendored_e2e_ms"
+    sources = "VendEthanol,VendWorms,VendSkate,VendSemg,VendCoffee"
+    from feature_level_style_transfer_for_tsc_tpu.cli import (
+        multi_source as cli_multi_source,
+    )
+
+    root = os.path.join(REPO, "datasets", "Univariate_ts")
+    t0 = _time.perf_counter()
+    result = cli_multi_source.main([
+        "--target-root", root, "--target", "VendGunPoint",
+        "--source-root", root, "--sources", sources,
+        "--out", out, "--phase-epochs", json.dumps(phase_epochs),
+    ])
+    row = {
+        "dataset": f"VendGunPoint <- {sources} (vendored archive files)",
+        "loader": "production .ts path, 5 sources from disk via "
+                  "cli.multi_source (train + on-device vote)",
+        "phase_epochs": phase_epochs,
+        "train_wall_s": round(_time.perf_counter() - t0, 1),
+        "ensemble_acc": result["ensemble_acc"],
+        "member_accs": result["member_accs"],
+        "vote_variants": result["vote_variants"],
+    }
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+    data["multisource_" + ("full" if full else "short")] = row
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(row, indent=2))
+
+
 def main():
     full = "--full" in sys.argv
     multivariate = "--multivariate" in sys.argv
+    if "--multisource" in sys.argv:
+        run_multisource(full)
+        return
     out = os.path.join("/tmp", "vendored_e2e" + ("_mv" if multivariate else ""))
     phase_epochs = (
         {"p1": 3, "p2": 70, "p3": 325, "p4": 600, "p5": 720}

@@ -69,16 +69,16 @@ def main():
         fp = os.environ.get("FLSTTSC_FAST_PULLBACKS", "")
         if fp:
             # measure the GradNorm-pullback knobs through this sweep: value
-            # is a comma list of knobs ("xonly", "stacked"; bare "1" means
-            # xonly for back-compat).  Tag the results file with
-            # FLSTTSC_MULTIRUN_TAG so sweeps don't overwrite the default's.
+            # is a comma list of knobs (only "stacked" survives; "xonly" was
+            # deleted in round 5, docs/DESIGN.md).  Tag the results file
+            # with FLSTTSC_MULTIRUN_TAG so sweeps don't overwrite the
+            # default's.
             import dataclasses
 
             knobs = {s.strip() for s in fp.split(",")}
             cfg = dataclasses.replace(
                 cfg,
                 merged_pullbacks=True,
-                xonly_pullbacks=bool(knobs & {"1", "xonly"}),
                 stacked_pullbacks="stacked" in knobs,
             )
         pipe = StyleTransferPipeline(C_T, T_T, N_CLS_T, C_S, T_S, N_CLS_S, cfg)

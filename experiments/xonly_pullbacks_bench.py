@@ -1,4 +1,12 @@
-"""Measure the GradNorm-pullback knobs on the v5e.
+"""HISTORICAL (round 3/4): the `xonly_pullbacks` knob this benchmarked was
+DELETED in round 5 (docs/DESIGN.md "GradNorm pullback knobs") — this
+driver no longer runs; results_xonly_pullbacks.json is the archived
+measurement that justified merged_pullbacks (still live) and the deleted
+knob.
+
+Original docstring follows.
+
+Measure the GradNorm-pullback knobs on the v5e.
 
 The phase-5 step takes SIX one-hot pullbacks of one forward
 (results_vmap_phase5_breakdown.json: at K=8 the 6-pull pattern costs
@@ -116,4 +124,8 @@ def main():
 
 
 if __name__ == "__main__":
+    raise SystemExit(
+        "archived driver: the xonly_pullbacks knob was deleted in round 5 "
+        "(docs/DESIGN.md); results_*.json files are the historical record")
+
     main()

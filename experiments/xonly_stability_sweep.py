@@ -1,4 +1,12 @@
-"""Seed-controlled stability sweep for `xonly_pullbacks` at K=16 (VERDICT r3
+"""HISTORICAL (round 4): the `xonly_pullbacks` knob this gated was DELETED
+in round 5 after this sweep's 0/96 PASS was falsified by the very next
+30-epoch K=16 run (the non-finite basin moved past the gate window) —
+docs/DESIGN.md "GradNorm pullback knobs".  Kept as the record of why
+finite stability gates cannot certify fp-schedule-sensitive knobs.
+
+Original docstring follows.
+
+Seed-controlled stability sweep for `xonly_pullbacks` at K=16 (VERDICT r3
 item 3).
 
 Round 3 parked `xonly_pullbacks` opt-in after runs 4/5 of the K=16 vmapped
@@ -121,4 +129,8 @@ def main():
 
 
 if __name__ == "__main__":
+    raise SystemExit(
+        "archived driver: the xonly_pullbacks knob was deleted in round 5 "
+        "(docs/DESIGN.md); results_*.json files are the historical record")
+
     main()

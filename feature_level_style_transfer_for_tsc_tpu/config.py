@@ -95,35 +95,25 @@ class PipelineConfig:
     #: than 10 small optax chains save — see docs/DESIGN.md), so default
     #: off; kept for remeasurement at larger parameter counts.
     fused_optimizers: bool = False
-    #: route the per-loss GradNorm trunk pullbacks (phase-5 `pull(i)`)
-    #: through flows flagged weight-grad-discarding, so the fused WN kernel
-    #: uses its input-grad-only backward (ops/wn_fused._wn_core_x) instead
-    #: of paying the weight-grad gemms XLA cannot dead-code-eliminate inside
-    #: the opaque kernel.  Exact same math (the discarded cotangents were
-    #: never read); trunk norms bitwise-equal — tests/test_multirun.py.
-    #: Measured 1.15x phase-5 step alone, 1.27x with merged_pullbacks
-    #: (experiments/results_xonly_pullbacks.json) and GradNorm trajectories
-    #: exactly equal at K<=8.  OFF by default — the K=16 non-finite hazard
-    #: is real: round 3 saw 2/16 vmapped runs blow up by epoch 5 (an
-    #: fp-schedule perturbation of pull(0) amplified by RMSprop's sign-like
-    #: first steps); round 4's 8-epoch seed-controlled sweep
-    #: (experiments/results_xonly_stability.json) found 0/96 and the default
-    #: was briefly flipped ON, but the 30-epoch K=16 timing sweep under the
-    #: flipped default immediately hit non-finite params again — the basin
-    #: had only moved past the sweep's window (full ledger in
-    #: docs/DESIGN.md "K=16 hazard").  Opt in for K<=8 regimes where the
-    #: GradNorm-weight equality was measured (absdiff 0.0).
-    xonly_pullbacks: bool = False
+    #: (`xonly_pullbacks` — an input-grad-only fused-WN backward for the
+    #: GradNorm trunk pulls, 1.13-1.15x at K<=8 — was DELETED in round 5:
+    #: within round 4 it was flipped ON after a 0/96 stability sweep and
+    #: falsified by the very next 30-epoch K=16 run; the hazard — an
+    #: fp-schedule perturbation relocating a non-finite RMSprop basin past
+    #: any finite gate window — is inherent, and a stabilizer would change
+    #: reference-parity optimizer numerics.  Ledger: docs/DESIGN.md
+    #: "GradNorm pullback knobs".)
+    #:
     #: merge the GradNorm trunk pulls whose cross-trunk gradients are
     #: structurally ZERO: t_nf depends only on the t_ext trunk and s_nf only
     #: on s_ext (the pair-batched flow is per-sample), so ONE pullback
     #: seeded e_{t_nf}+e_{s_nf} yields both trunk grads exactly — likewise
     #: t_c/s_c.  6 backwards/step -> 4, bit-identical trunk norms
-    #: (tests/test_multirun.py).  Default ON: measured 1.16x alone, 1.27x
-    #: with xonly_pullbacks (experiments/results_xonly_pullbacks.json).
+    #: (tests/test_multirun.py).  Default ON: measured 1.16x alone
+    #: (experiments/results_xonly_pullbacks.json).
     merged_pullbacks: bool = True
     #: batch the flow-traversing GradNorm pulls — total, nf-merged, s2t2s
-    #: (xonly: nf-merged + s2t2s) — as ONE vmapped pullback over a stacked
+    #: — as ONE vmapped pullback over a stacked
     #: cotangent matrix instead of sequential calls, so the flow backward
     #: (the dominant phase-5 cost under the K-run vmap,
     #: results_vmap_phase5_breakdown.json fwd_vjp6 7.2x at K=8) runs once

@@ -165,18 +165,12 @@ def wn_fused_enabled() -> bool:
 
 def wn_apply(
     params: Dict, x: jax.Array, n_channels: int, dilated_conv=None,
-    xgrad_only: bool = False,
 ) -> jax.Array:
     """The coupling network: x (B, T, n_half) -> (B, T, 2*n_half).
 
     ``dilated_conv(x, w, bias, dilation)`` overrides the dilated-conv
     primitive — parallel/sequence.py substitutes a halo-exchange conv to run
     this net over a time-sharded mesh axis.
-
-    ``xgrad_only=True`` marks this application as one whose WEIGHT gradients
-    are discarded downstream (GradNorm trunk-norm pullbacks): the fused
-    kernel then uses an input-grad-only backward.  On the unfused path the
-    flag is a no-op — XLA's DCE already prunes unused weight-grad branches.
     """
     if dilated_conv is None:
         from ..ops import use_pallas
@@ -188,9 +182,7 @@ def wn_apply(
             and wn_fused_enabled()
             and params["in_layers"][0]["v"].shape[0] == 3  # kernel-3 geometry
         ):
-            return wn_apply_fused(
-                params, x, n_channels, weight_norm_weight, xgrad_only=xgrad_only
-            )
+            return wn_apply_fused(params, x, n_channels, weight_norm_weight)
         dilated_conv = _dilated_conv_same
     n_layers = len(params["in_layers"])
     audio = conv1x1(
@@ -244,15 +236,11 @@ def _soft_clamp(log_s: jax.Array, cap: float) -> jax.Array:
 
 def waveglow_forward(
     params: Dict, x: jax.Array, n_wn_ch: int, log_s_clamp: float = 0.0,
-    xgrad_only: bool = False,
 ) -> Tuple[jax.Array, List[jax.Array], List[jax.Array]]:
     """Density direction: features -> noise (reference :148-181).
 
     Returns (z, log_s_list, log_det_w_list) exactly like the reference so
     the loss and the NoiseTransfer consume the same triple.
-
-    ``xgrad_only`` — see `wn_apply`: marks the coupling nets as applications
-    whose weight gradients are discarded (GradNorm trunk pullbacks).
     """
     n_flows = len(params["convinv"])
     log_s_list, log_det_w_list = [], []
@@ -262,7 +250,7 @@ def waveglow_forward(
         log_det_w_list.append(log_det_w)
         n_half = audio.shape[-1] // 2
         audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-        output = wn_apply(params["wn"][k], audio_0, n_wn_ch, xgrad_only=xgrad_only)
+        output = wn_apply(params["wn"][k], audio_0, n_wn_ch)
         # NOTE reference order: b first, log_s second (:172-173).
         b = output[..., :n_half]
         log_s = _soft_clamp(output[..., n_half:], log_s_clamp)
@@ -274,7 +262,7 @@ def waveglow_forward(
 
 def waveglow_forward_pair(
     params: Dict, x_a: jax.Array, x_b: jax.Array, n_wn_ch: int,
-    log_s_clamp: float = 0.0, xgrad_only: bool = False,
+    log_s_clamp: float = 0.0,
 ):
     """Run the density direction on two batches in ONE pass.
 
@@ -288,7 +276,6 @@ def waveglow_forward_pair(
     t = x_a.shape[1]
     z, log_s_list, log_det_list = waveglow_forward(
         params, jnp.concatenate([x_a, x_b], axis=0), n_wn_ch, log_s_clamp,
-        xgrad_only,
     )
     z_a, z_b = z[:ba], z[ba:]
     ls_a = [ls[:ba] for ls in log_s_list]
@@ -301,7 +288,7 @@ def waveglow_forward_pair(
 
 def waveglow_infer(
     params: Dict, noise: jax.Array, n_wn_ch: int, sigma: float = 1.0,
-    log_s_clamp: float = 0.0, xgrad_only: bool = False,
+    log_s_clamp: float = 0.0,
 ) -> jax.Array:
     """Synthesis direction: noise -> features (reference :183-203)."""
     n_flows = len(params["convinv"])
@@ -309,7 +296,7 @@ def waveglow_infer(
     for k in reversed(range(n_flows)):
         n_half = audio.shape[-1] // 2
         audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-        output = wn_apply(params["wn"][k], audio_0, n_wn_ch, xgrad_only=xgrad_only)
+        output = wn_apply(params["wn"][k], audio_0, n_wn_ch)
         b = output[..., :n_half]
         s = _soft_clamp(output[..., n_half:], log_s_clamp)
         audio_1 = affine_coupling_inverse(audio_1, s, b)

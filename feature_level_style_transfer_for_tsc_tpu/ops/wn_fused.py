@@ -25,7 +25,9 @@ This kernel executes the ENTIRE coupling net in one `pallas_call`:
   transposed masked taps, weight-grad accumulation across grid steps) —
   under `jax.vmap` with per-run weights both kernels just gain a grid
   dimension, so K independent runs stay K clean gemm streams instead of
-  XLA's serialized grouped convolutions.
+  XLA's serialized grouped convolutions.  (An input-grad-only backward
+  variant for GradNorm trunk pullbacks existed through round 4; deleted in
+  round 5 with the `xonly_pullbacks` knob — docs/DESIGN.md ledger.)
 
 Layer-7 uniformity trick: the last res/skip layer (120 cols, all-skip) is
 embedded into cols [120:240) of a zero-padded (120, 240) weight so every
@@ -113,6 +115,8 @@ def _pick_b_blk(b: int, t: int, per_row_bytes: int, budget: int = 6 << 20) -> in
 
 
 def _roll(x, shift):
+    if "noroll" in _ablate():  # diagnostic only: pure-gemm-schedule floor
+        return x
     rows = x.shape[0]
     return pltpu.roll(x, shift % rows, 0)
 
@@ -264,51 +268,6 @@ def _wn_bwd_kernel(
         g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i, bf16)
     gws_ref[...] += _dot(x.T, g_audio, bf16)
     gbs_ref[...] += jnp.sum(g_audio, axis=0, keepdims=True)
-    gx_ref[...] = g_x + _dot(g_audio, ws_ref[...].T, bf16)
-
-
-def _wn_bwd_kernel_xonly(
-    x_ref, pos_ref, ws_ref, wc_ref, wi_ref, bi_ref, wr_ref, we_ref,
-    aud_ref, g_ref, gx_ref, *, t_len: int, bf16: bool = False,
-    ablate: frozenset = frozenset(),
-):
-    """Input-gradient-only reverse walk: identical layer recurrence to
-    `_wn_bwd_kernel` but NO weight/bias gradient accumulation (gwr/gwi/gwc/
-    gws/gb*).  GradNorm's per-loss trunk-norm pullbacks (train/pipeline.py
-    `pull(i)`, i in {nf losses}) only consume d(loss)/d(features) — the flow
-    weight cotangents are discarded — but XLA cannot dead-code-eliminate
-    *inside* the monolithic fused kernel, so the full bwd kernel pays ~40%
-    of its gemm FLOPs (the weight-grad gemms) for nothing on those pulls.
-    This variant drops them and the grid-accumulation machinery (no SMEM
-    block scalar, no zero-init) entirely."""
-    n_layers = wi_ref.shape[0]
-    c = wi_ref.shape[2]
-    mask = "nomask" not in ablate
-    x = x_ref[...]
-    pos = pos_ref[...]
-    g_y = g_ref[...]
-    g_skip = _dot(g_y, we_ref[...].T, bf16)
-    g_audio = jnp.zeros((x.shape[0], c), jnp.float32)
-    g_x = jnp.zeros_like(x)
-    for i in range(n_layers - 1, -1, -1):
-        audio = aud_ref[i]
-        z = _tap_sum(audio, wi_ref[i], pos, t_len, 2 ** i, bf16, mask) + bi_ref[i]
-        if "nocond" not in ablate:
-            z += _dot(x, wc_ref[:, 2 * c * i : 2 * c * (i + 1)], bf16)
-        g_rs = jnp.concatenate([g_audio, g_skip], axis=1)
-        g_acts = _dot(g_rs, wr_ref[i].T, bf16)
-        if "nogate" in ablate:
-            g_z = jnp.concatenate([g_acts, g_acts], axis=1)
-        else:
-            tt = jnp.tanh(z[:, :c])
-            ss = jax.nn.sigmoid(z[:, c:])
-            g_z = jnp.concatenate(
-                [g_acts * ss * (1.0 - tt * tt), g_acts * tt * ss * (1.0 - ss)],
-                axis=1,
-            )
-        if "nocond" not in ablate:
-            g_x += _dot(g_z, wc_ref[:, 2 * c * i : 2 * c * (i + 1)].T, bf16)
-        g_audio = g_audio + _tap_sum_t(g_z, wi_ref[i], pos, t_len, 2 ** i, bf16)
     gx_ref[...] = g_x + _dot(g_audio, ws_ref[...].T, bf16)
 
 
@@ -500,96 +459,11 @@ def _wn_core_bwd(res, g):
 _wn_core.defvjp(_wn_core_fwd, _wn_core_bwd)
 
 
-@jax.custom_vjp
-def _wn_core_x(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
-    """Same primal as `_wn_core`; backward computes ONLY d/dx (weight
-    cotangents are zeros).  The fwd pallas_call is operand-identical to the
-    full core's so XLA CSE collapses the two forwards when both appear in
-    one program (verified by counting kernels in the compiled HLO,
-    tests/test_ops.py)."""
-    y, _, _ = _wn_core_fwd_impl(
-        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
-    )
-    return y
 
 
-def _wn_core_x_fwd(x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end):
-    y, aud, skip = _wn_core_fwd_impl(
-        x, w_start, b_start, w_cond, b_cond, w_in, b_in, w_rs, b_rs, w_end, b_end
-    )
-    del skip  # xonly bwd never forms gwe
-    res = (x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud)
-    return y, res
-
-
-def _wn_core_x_bwd(res, g):
-    x, w_start, w_cond, b_cond, w_in, b_in, w_rs, w_end, aud = res
-    b, t, n_half = x.shape
-    n_layers, _, c, _ = w_in.shape
-    t8 = -(-t // 8) * 8
-    if t8 != t:
-        x = jnp.pad(x, ((0, 0), (0, t8 - t), (0, 0)))
-        g = jnp.pad(g, ((0, 0), (0, t8 - t), (0, 0)))
-    rows = b * t8
-    x2 = x.reshape(rows, n_half)
-    g2 = g.reshape(rows, 2 * n_half).astype(jnp.float32)
-    pos = jnp.tile(jnp.arange(t8, dtype=jnp.int32), b).reshape(rows, 1)
-    # no weight-grad accumulators live in VMEM -> same per-row footprint as
-    # the full bwd minus the gw slabs; reuse the full bwd's accounting (a
-    # slightly small b_blk is harmless)
-    per_row = 4 * (
-        n_half + 1 + 4 * 2 * c + 3 * c + 2 * 2 * n_half + n_layers * c
-    )
-    b_blk = _pick_b_blk(b, t8, per_row, budget=_blk_budget())
-    rows_blk = b_blk * t8
-    grid = (b // b_blk,)
-    b_in_eff = b_in + b_cond.reshape(n_layers, 2 * c)
-    kernel = functools.partial(
-        _wn_bwd_kernel_xonly, t_len=t, bf16=_mxu_bf16(), ablate=_ablate()
-    )
-    gx = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, n_half), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_half, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_half, 2 * c * n_layers), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, 3, c, 2 * c), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, c, 2 * c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 2 * n_half), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, rows_blk, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_blk, 2 * n_half), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (rows_blk, n_half), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=pallas_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(x2, pos, w_start, w_cond, w_in, b_in_eff, w_rs, w_end, aud, g2)
-    return (
-        gx.reshape(b, t8, n_half)[:, :t],
-        jnp.zeros_like(w_start), jnp.zeros((c,), jnp.float32),
-        jnp.zeros_like(w_cond), jnp.zeros_like(b_cond),
-        jnp.zeros_like(w_in), jnp.zeros_like(b_in),
-        jnp.zeros_like(w_rs), jnp.zeros_like(b_in),
-        jnp.zeros_like(w_end), jnp.zeros((2 * n_half,), jnp.float32),
-    )
-
-
-_wn_core_x.defvjp(_wn_core_x_fwd, _wn_core_x_bwd)
-
-
-def wn_apply_fused(
-    params, x, n_channels: int, weight_norm_weight, xgrad_only: bool = False
-) -> jax.Array:
+def wn_apply_fused(params, x, n_channels: int, weight_norm_weight) -> jax.Array:
     """Drop-in fused replacement for models.flow.wn_apply (TPU, f32,
-    reference geometry: kernel 3, dilation 2**i).  ``xgrad_only=True``
-    selects a backward that computes ONLY d/dx (weight cotangents zero) —
-    for GradNorm trunk-norm pullbacks, which discard the flow weight grads."""
+    reference geometry: kernel 3, dilation 2**i)."""
     del n_channels  # implied by the param shapes
     eff = _stack_effective(params, weight_norm_weight)
-    core = _wn_core_x if xgrad_only else _wn_core
-    return core(x.astype(jnp.float32), *eff)
+    return _wn_core(x.astype(jnp.float32), *eff)

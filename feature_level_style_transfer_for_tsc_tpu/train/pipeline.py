@@ -540,13 +540,10 @@ class StyleTransferPipeline:
 
     def _phase5_forward(
         self, params, mstate, consts, bt, lt, bs, ls, rng, cpc_anchors=None,
-        xonly_flows=False,
     ):
         """The full hot-loop forward (reference :539-621).  Returns every
         loss plus updated model state.  ``cpc_anchors`` pins the two CPC
-        anchor draws (parity tests only).  ``xonly_flows`` marks the flow
-        applications as weight-grad-discarding (GradNorm trunk pullbacks —
-        see models.flow.wn_apply): same primal, cheaper fused backward."""
+        anchor draws (parity tests only)."""
         wn_ch = self.config.flow.wn_channels
         r1, r2, r3 = jax.random.split(rng, 3)
         new_m = dict(mstate)
@@ -558,7 +555,7 @@ class StyleTransferPipeline:
             params["cpc"], t_feat, s_feat, r1, r2, anchors=cpc_anchors
         )
         t_nf_out, s_nf_out = waveglow_forward_pair(
-            params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp, xonly_flows
+            params["nf"], t_feat, s_feat, wn_ch, self.log_s_clamp
         )
         t_nf_loss = waveglow_loss(t_nf_out)
         s_nf_loss = waveglow_loss(s_nf_out)
@@ -568,7 +565,6 @@ class StyleTransferPipeline:
         )
         s2t_feat = waveglow_infer(
             params["nf"], s2t_noise, wn_ch, log_s_clamp=self.log_s_clamp,
-            xgrad_only=xonly_flows,
         )
 
         t_logits, t_pool, new_m["t_cls"] = self.classify_target(params, mstate, t_feat, True)
@@ -634,11 +630,9 @@ class StyleTransferPipeline:
 
         def total_loss_fn(
             params, mstate, consts, gw_t, gw_s, bt, lt, bs, ls, rng, epoch,
-            xonly_flows=False,
         ):
             losses, new_m, feats = self._phase5_forward(
                 params, mstate, consts, bt, lt, bs, ls, rng,
-                xonly_flows=xonly_flows,
             )
             loss_t = jnp.stack([losses["t_nf"], losses["t_c"]])
             loss_s = jnp.stack([losses["s_nf"], losses["s_c"], losses["s2t2s_c"]])
@@ -667,10 +661,10 @@ class StyleTransferPipeline:
             # the same work as the reference's ``autograd.grad(loss_i,
             # shared_trunk)`` (train_and_test.py:681-690) without its two
             # extra forward recomputes.
-            def all_losses(p, xonly_flows=False):
+            def all_losses(p):
                 total, (losses, new_m, feats) = total_loss_fn(
                     p, mstate, state["consts"], gn["t"].weights, gn["s"].weights,
-                    bt, lt, bs, ls, sub, epoch, xonly_flows=xonly_flows,
+                    bt, lt, bs, ls, sub, epoch,
                 )
                 vec = jnp.stack(
                     [total, losses["t_nf"], losses["t_c"], losses["s_nf"],
@@ -682,22 +676,12 @@ class StyleTransferPipeline:
                 all_losses, params, has_aux=True
             )
 
-            if cfg.xonly_pullbacks:
-                # Second vjp of the SAME forward with the flows flagged
-                # weight-grad-discarding: the per-loss trunk pulls below only
-                # consume d(loss)/d(extractor trunk), but the fused WN
-                # backward is opaque to XLA's DCE, so without the flag every
-                # nf-loss pull pays the kernel's weight-grad gemms for
-                # nothing.  The flagged forward's pallas_calls are operand-
-                # identical to the first vjp's, so XLA CSE collapses the two
-                # forwards into one (numerics: identical primal by
-                # construction; d/d(trunk) equality is exact — see
-                # ops/wn_fused._wn_core_x and tests/test_multirun.py).
-                _, pullback_n = jax.vjp(
-                    lambda p: all_losses(p, xonly_flows=True)[0], params
-                )
-            else:
-                pullback_n = pullback
+            # (Deleted round 5: `xonly_pullbacks`, a second vjp routing the
+            # trunk pulls through an input-grad-only fused-WN backward.  It
+            # measured 1.13-1.15x at K<=8 but was an fp-schedule perturbation
+            # that relocated a non-finite RMSprop basin unpredictably across
+            # program geometries — wrong in both directions within round 4.
+            # Ledger: docs/DESIGN.md "GradNorm pullback knobs".)
 
             def pull(i, pb=pullback):
                 (g,) = pb(jnp.asarray(np.eye(6, dtype=np.float32)[i]))
@@ -739,29 +723,18 @@ class StyleTransferPipeline:
                     # flow backward entirely, which batching would forfeit.
                     # Same pullback linear map, batched (exactness tested
                     # in tests/test_multirun.py).
-                    if cfg.xonly_pullbacks:
-                        # pullback_n is a different closure (xonly flows):
-                        # batch its two rows; total keeps its own backward.
-                        rows = np.stack([eye[1] + eye[3], eye[5]])
-                        g_rows = jax.vmap(lambda s: pullback_n(s)[0])(
-                            jnp.asarray(rows)
-                        )
-                        grads = pull(0)
-                        i_nf = 0
-                    else:
-                        rows = np.stack([eye[0], eye[1] + eye[3], eye[5]])
-                        g_rows = jax.vmap(lambda s: pullback(s)[0])(
-                            jnp.asarray(rows)
-                        )
-                        grads = jax.tree_util.tree_map(lambda l: l[0], g_rows)
-                        i_nf = 1
-                    g_nf = jax.tree_util.tree_map(lambda l: l[i_nf], g_rows)
-                    g_5 = jax.tree_util.tree_map(lambda l: l[i_nf + 1], g_rows)
+                    rows = np.stack([eye[0], eye[1] + eye[3], eye[5]])
+                    g_rows = jax.vmap(lambda s: pullback(s)[0])(
+                        jnp.asarray(rows)
+                    )
+                    grads = jax.tree_util.tree_map(lambda l: l[0], g_rows)
+                    g_nf = jax.tree_util.tree_map(lambda l: l[1], g_rows)
+                    g_5 = jax.tree_util.tree_map(lambda l: l[2], g_rows)
                 else:
                     grads = pull(0)
-                    g_nf = pull_seed(eye[1] + eye[3], pullback_n)
-                    g_5 = pull_seed(eye[5], pullback_n)
-                g_c = pull_seed(eye[2] + eye[4], pullback_n)
+                    g_nf = pull_seed(eye[1] + eye[3])
+                    g_5 = pull_seed(eye[5])
+                g_c = pull_seed(eye[2] + eye[4])
                 n_t = jnp.stack(
                     [trunk_norm(g_nf, "t_ext"), trunk_norm(g_c, "t_ext")]
                 )
@@ -772,10 +745,10 @@ class StyleTransferPipeline:
             else:
                 grads = pull(0)
                 n_t = jnp.stack(
-                    [trunk_norm(pull(i, pullback_n), "t_ext") for i in (1, 2)]
+                    [trunk_norm(pull(i), "t_ext") for i in (1, 2)]
                 )
                 n_s = jnp.stack(
-                    [trunk_norm(pull(i, pullback_n), "s_ext") for i in (3, 4, 5)]
+                    [trunk_norm(pull(i), "s_ext") for i in (3, 4, 5)]
                 )
             losses_t_vec = vec[1:3]
             losses_s_vec = vec[3:6]

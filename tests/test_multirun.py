@@ -218,29 +218,25 @@ def test_phase5_epoch_bf16_mxu_tracks_f32(monkeypatch):
 
 
 def test_phase5_epoch_fast_pullbacks_exact(monkeypatch):
-    """The GradNorm pullback knobs must be numerically invisible:
-
-    * config.xonly_pullbacks routes the trunk pulls through the fused WN's
-      input-grad-only backward (ops/wn_fused._wn_core_x) — the discarded
-      weight cotangents were never read;
-    * config.merged_pullbacks merges the t_nf/s_nf (and t_c/s_c) pulls into
-      one backward each — exact because their cross-trunk gradients are
-      structurally zero.
-
-    Each combination must give the same metrics (incl. the GradNorm weights,
-    which consume the trunk norms) and updated params as the default, on
-    both the fused-kernel path and the plain XLA path."""
+    """config.merged_pullbacks (the GradNorm pullback knob) must be
+    numerically invisible: it merges the t_nf/s_nf (and t_c/s_c) pulls into
+    one backward each — exact because their cross-trunk gradients are
+    structurally zero.  Must give the same metrics (incl. the GradNorm
+    weights, which consume the trunk norms) and updated params as the
+    unmerged path, on both the fused-kernel path and the plain XLA path.
+    (The former `xonly_pullbacks` knob was deleted in round 5 —
+    docs/DESIGN.md "GradNorm pullback knobs".)"""
     import dataclasses
 
     import jax.numpy as jnp
 
     t_train, _, s_train, _ = make_pair(13)
 
-    def one_epoch(use_pallas, xonly, merged, stacked=False):
+    def one_epoch(use_pallas, merged, stacked=False):
         monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1" if use_pallas else "0")
         monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
         cfg = dataclasses.replace(
-            tiny_cfg(seed=13), xonly_pullbacks=xonly, merged_pullbacks=merged,
+            tiny_cfg(seed=13), merged_pullbacks=merged,
             stacked_pullbacks=stacked,
         )
         pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
@@ -254,18 +250,16 @@ def test_phase5_epoch_fast_pullbacks_exact(monkeypatch):
         return st, {k: np.asarray(v) for k, v in metrics.items()}
 
     cases = [
-        (True, True, False),   # fused kernel, x-only pulls
-        (False, True, False),  # knob harmless on the plain XLA path
-        (False, False, True),  # merged pulls, plain XLA
-        (True, True, True),    # both knobs on the fused path
+        (False, True),  # merged pulls, plain XLA
+        (True, True),   # merged pulls on the fused path
     ]
     base = {}
-    for use_pallas, xonly, merged in cases:
+    for use_pallas, merged in cases:
         if use_pallas not in base:
-            base[use_pallas] = one_epoch(use_pallas, False, False)
+            base[use_pallas] = one_epoch(use_pallas, False)
         st0, m0 = base[use_pallas]
-        st1, m1 = one_epoch(use_pallas, xonly, merged)
-        tag = f"pallas={use_pallas} xonly={xonly} merged={merged}"
+        st1, m1 = one_epoch(use_pallas, merged)
+        tag = f"pallas={use_pallas} merged={merged}"
         for k in m0:
             np.testing.assert_allclose(
                 m1[k], m0[k], rtol=1e-6, atol=1e-7, err_msg=f"metric {k} ({tag})"
@@ -285,8 +279,9 @@ def test_phase5_epoch_stacked_pullbacks_tracks(monkeypatch):
     as ONE vmapped pullback over a stacked cotangent matrix.  It applies the
     SAME pullback linear map, but batched execution reassociates at the fp
     level, and RMSprop's first steps amplify sign flips on near-zero grad
-    elements into O(10*lr) param deltas (the xonly hazard mechanism,
-    docs/DESIGN.md) — so the knob is opt-in and this asserts TRACKING of the
+    elements into O(10*lr) param deltas (the hazard mechanism that got the
+    xonly knob deleted, docs/DESIGN.md) — so the knob is opt-in and this
+    asserts TRACKING of the
     epoch metrics (losses + GradNorm weights, which consume the per-loss
     trunk norms), not bitwise equality.  Measured absdiffs on this geometry:
     metrics <= 1.7e-4, gradnorm weights <= 2.4e-7."""
@@ -296,11 +291,11 @@ def test_phase5_epoch_stacked_pullbacks_tracks(monkeypatch):
 
     t_train, _, s_train, _ = make_pair(13)
 
-    def one_epoch(stacked, xonly=False):
+    def one_epoch(stacked):
         monkeypatch.setenv("FLSTTSC_USE_PALLAS", "1")
         monkeypatch.setenv("FLSTTSC_PALLAS_INTERPRET", "1")
         cfg = dataclasses.replace(
-            tiny_cfg(seed=13), merged_pullbacks=True, xonly_pullbacks=xonly,
+            tiny_cfg(seed=13), merged_pullbacks=True,
             stacked_pullbacks=stacked,
         )
         pipe = StyleTransferPipeline(2, 16, 2, 1, 12, 3, cfg)
@@ -314,10 +309,9 @@ def test_phase5_epoch_stacked_pullbacks_tracks(monkeypatch):
         return {k: np.asarray(v) for k, v in metrics.items()}
 
     m0 = one_epoch(False)
-    for xonly in (False, True):
-        m1 = one_epoch(True, xonly)
-        for k in m0:
-            np.testing.assert_allclose(
-                m1[k], m0[k], rtol=2e-3, atol=1e-3,
-                err_msg=f"metric {k} (stacked, xonly={xonly})",
-            )
+    m1 = one_epoch(True)
+    for k in m0:
+        np.testing.assert_allclose(
+            m1[k], m0[k], rtol=2e-3, atol=1e-3,
+            err_msg=f"metric {k} (stacked)",
+        )

@@ -50,12 +50,21 @@ NUM_CLASS, C_T, T_T, C_S, T_S = 4, 2, 144, 1, 96
 N_SOURCE, N_TEST = 240, 120
 
 
-def get_pair(n_target, seed):
+def get_pair(n_target, seed, noise=None):
+    """noise=None -> the round-4 pair (noise_target=1.8).  A float hardens
+    the target domain (VERDICT r4 item 4: probe the regime boundary where
+    target-only drops to ~0.6-0.7 and transfer could plausibly pay)."""
+    kw = {} if noise is None else {"noise_target": noise}
     return make_shared_domain_pair(
         n_target, N_SOURCE, N_TEST, num_class=NUM_CLASS,
         t_target=T_T, c_target=C_T, t_source=T_S, c_source=C_S,
-        seed=seed, template_seed=seed,
+        seed=seed, template_seed=seed, **kw,
     )
+
+
+def cell_key(arm, n_target, seed, noise=None):
+    base = f"{arm}_n{n_target}_s{seed}"
+    return base if noise is None else f"{base}_x{noise:g}"
 
 
 def _merge(key, row):
@@ -83,7 +92,7 @@ def _datasets(pair):
             ds("s_train", sd, True), ds("s_test", sd, False))
 
 
-def run_style(n_target, seed):
+def run_style(n_target, seed, noise=None):
     import time as _time
 
     from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
@@ -91,7 +100,7 @@ def run_style(n_target, seed):
         StyleTransferPipeline,
     )
 
-    t_train, t_test, s_train, s_test = _datasets(get_pair(n_target, seed))
+    t_train, t_test, s_train, s_test = _datasets(get_pair(n_target, seed, noise))
     cfg = PipelineConfig(seed=seed)
     pipe = StyleTransferPipeline(C_T, T_T, NUM_CLASS, C_S, T_S, NUM_CLASS, cfg)
     accs = []
@@ -101,14 +110,14 @@ def run_style(n_target, seed):
         pretrain_eval_every=0, log_every=100,
         eval_hook=lambda e, st, a: accs.append(a["target_test_acc"]),
     )
-    _merge(f"style_n{n_target}_s{seed}", {
+    _merge(cell_key("style", n_target, seed, noise), {
         "final_test_acc": accs[-1], "best_test_acc": max(accs),
         "last10_mean": float(np.mean(accs[-10:])), "n_evals": len(accs),
         "wall_s": round(_time.perf_counter() - t0, 1), "epochs": EPOCHS,
     })
 
 
-def run_target_only(n_target, seed):
+def run_target_only(n_target, seed, noise=None):
     import time as _time
 
     from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
@@ -116,13 +125,13 @@ def run_target_only(n_target, seed):
         OSCNNClassifier,
     )
 
-    t_train, t_test, _, _ = _datasets(get_pair(n_target, seed))
+    t_train, t_test, _, _ = _datasets(get_pair(n_target, seed, noise))
     cfg = PipelineConfig(seed=seed)
     clf = OSCNNClassifier(C_T, T_T, NUM_CLASS, config=cfg, with_cpc=True)
     t0 = _time.perf_counter()
     _, hist = clf.fit(t_train, t_test, epochs=sum(EPOCHS.values()), verbose=False)
     accs = [h["test_acc"] for h in hist if "test_acc" in h]
-    _merge(f"target_only_n{n_target}_s{seed}", {
+    _merge(cell_key("target_only", n_target, seed, noise), {
         "final_test_acc": accs[-1], "best_test_acc": max(accs),
         "last10_mean": float(np.mean(accs[-10:])), "n_evals": len(accs),
         "wall_s": round(_time.perf_counter() - t0, 1),
@@ -130,11 +139,11 @@ def run_target_only(n_target, seed):
     })
 
 
-def run_reference(n_target, seed):
+def run_reference(n_target, seed, noise=None):
     """The reference's own `train()` on this pair (CPU; attribution arm)."""
     import parity_fullscale as pf
 
-    pair = get_pair(n_target, seed)
+    pair = get_pair(n_target, seed, noise)
     # reuse the patched verbatim-reference driver from parity_fullscale by
     # pointing its get_pair at this experiment's arrays
     import torch
@@ -149,14 +158,13 @@ def run_reference(n_target, seed):
         # unique scratch per CELL: two cells share a seed (n16_s0 / n32_s0),
         # and the reference's the_log.txt is append-only — a shared dir
         # would concatenate both curves and corrupt the parse
-        pf.run_reference(
-            seed, scratch_name=f"_ref_poscontrol_n{n_target}_s{seed}"
-        )  # writes reference_seed{seed}
+        scratch = cell_key("_ref_poscontrol", n_target, seed, noise).lstrip("_")
+        pf.run_reference(seed, scratch_name=f"_{scratch}")
         data = json.load(open(RESULTS))
         row = data.pop(f"reference_seed{seed}")
         with open(RESULTS, "w") as f:
             json.dump(data, f, indent=2)
-        _merge(f"reference_n{n_target}_s{seed}", row)
+        _merge(cell_key("reference", n_target, seed, noise), row)
     finally:
         pf.get_pair = orig_get_pair
 
@@ -167,17 +175,19 @@ def summarize():
     for k, v in data.items():
         if not isinstance(v, dict) or "final_test_acc" not in v:
             continue
-        for arm in ("style", "target_only", "reference"):
-            prefix = arm + "_n"
-            if k.startswith(prefix):
-                n, s = k[len(prefix):].split("_s")
-                cells.setdefault((int(n), int(s)), {})[arm] = v
-                break
+        import re as _re
+
+        m = _re.match(
+            r"(style|target_only|reference)_n(\d+)_s(\d+)(?:_x([\d.]+))?$", k)
+        if m:
+            arm, n, s, x = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
+            cells.setdefault((n, s, x), {})[arm] = v
     rows, deltas = {}, []
-    for (n, s), arms in sorted(cells.items()):
+    for (n, s, x), arms in sorted(
+            cells.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2] or "")):
         if "style" in arms and "target_only" in arms:
             d = arms["style"]["final_test_acc"] - arms["target_only"]["final_test_acc"]
-            rows[f"n{n}_s{s}"] = {
+            rows[f"n{n}_s{s}" + (f"_x{x}" if x else "")] = {
                 "style_final": round(arms["style"]["final_test_acc"], 4),
                 "target_only_final": round(arms["target_only"]["final_test_acc"], 4),
                 "delta_final": round(d, 4),
@@ -205,11 +215,16 @@ def main():
         summarize()
         return
     raw = sys.argv[2:] or ["16:0", "16:1", "32:0", "32:1"]
-    cells = [tuple(int(v) for v in s.split(":")) for s in raw]
+    # cell syntax n:seed[:noise_target], e.g. 16:0:3.5 (hardened pair)
+    cells = []
+    for s in raw:
+        parts = s.split(":")
+        cells.append((int(parts[0]), int(parts[1]),
+                      float(parts[2]) if len(parts) > 2 else None))
     fn = {"style": run_style, "target_only": run_target_only,
           "reference": run_reference}[side]
-    for n_target, seed in cells:
-        fn(n_target, seed)
+    for n_target, seed, noise in cells:
+        fn(n_target, seed, noise)
     summarize()
 
 

@@ -21,6 +21,7 @@ Arms per (scarcity, seed) cell, all at the reference's FULL curriculum
 
 Usage:
   python experiments/positive_control.py style  [n_target:seed ...]
+  python experiments/positive_control.py style_vmap [n_target:seed ...]  # all cells, ONE program
   python experiments/positive_control.py target_only [n_target:seed ...]
   python experiments/positive_control.py reference [n_target:seed ...]
   python experiments/positive_control.py summary
@@ -115,6 +116,56 @@ def run_style(n_target, seed, noise=None):
         "last10_mean": float(np.mean(accs[-10:])), "n_evals": len(accs),
         "wall_s": round(_time.perf_counter() - t0, 1), "epochs": EPOCHS,
     })
+
+
+def run_style_vmapped(cells):
+    """ALL requested style cells as ONE vmapped program (train/multirun.py,
+    same chip-filling path as parity_fullscale.run_ours_vmapped).  Cells must
+    share n_target (shapes must match across the run axis); each run uses its
+    cell's data pair and its seed as the init seed, so rows are comparable to
+    `run_style`'s (phases 1-4 bitwise-equal to sequential, phase 5 to
+    reassociation noise — tests/test_multirun.py)."""
+    import time as _time
+
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.train.multirun import (
+        MultiRunData,
+        MultiRunStylePipeline,
+    )
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import (
+        StyleTransferPipeline,
+    )
+
+    assert len({n for n, _, _ in cells}) == 1, "vmapped cells must share n_target"
+    # get_pair is channel-first (N, C, T); MultiRunData is channel-last
+    pairs = [
+        {
+            k: (np.transpose(v[0], (0, 2, 1)), v[1])
+            for k, v in get_pair(n, seed, noise).items()
+        }
+        for n, seed, noise in cells
+    ]
+    data = MultiRunData.from_pairs(pairs)
+    pipe = StyleTransferPipeline(C_T, T_T, NUM_CLASS, C_S, T_S, NUM_CLASS,
+                                 PipelineConfig())
+    mpipe = MultiRunStylePipeline(pipe)
+    accs = []
+    t0 = _time.perf_counter()
+    mpipe.run(
+        data, [seed for _, seed, _ in cells], epochs=EPOCHS,
+        eval_hook=lambda e, st, a: accs.append(np.asarray(a["target_test_acc"])),
+    )
+    wall = round(_time.perf_counter() - t0, 1)
+    accs = np.stack(accs)  # [n_evals, K]
+    for i, (n_target, seed, noise) in enumerate(cells):
+        _merge(cell_key("style", n_target, seed, noise), {
+            "final_test_acc": float(accs[-1, i]),
+            "best_test_acc": float(accs[:, i].max()),
+            "last10_mean": float(accs[-10:, i].mean()),
+            "n_evals": int(accs.shape[0]),
+            "wall_s": wall,  # shared: ONE program ran all K cells
+            "vmapped_k": len(cells), "epochs": EPOCHS,
+        })
 
 
 def run_target_only(n_target, seed, noise=None):
@@ -221,10 +272,13 @@ def main():
         parts = s.split(":")
         cells.append((int(parts[0]), int(parts[1]),
                       float(parts[2]) if len(parts) > 2 else None))
-    fn = {"style": run_style, "target_only": run_target_only,
-          "reference": run_reference}[side]
-    for n_target, seed, noise in cells:
-        fn(n_target, seed, noise)
+    if side == "style_vmap":
+        run_style_vmapped(cells)
+    else:
+        fn = {"style": run_style, "target_only": run_target_only,
+              "reference": run_reference}[side]
+        for n_target, seed, noise in cells:
+            fn(n_target, seed, noise)
     summarize()
 
 

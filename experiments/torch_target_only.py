@@ -93,8 +93,8 @@ def _accuracy(ext, cls, loader):
     return good / total
 
 
-def run_cell(n_target, seed):
-    pair = get_pair(n_target, seed)
+def run_cell(n_target, seed, noise=None):
+    pair = get_pair(n_target, seed, noise)
     x_tr, y_tr = pair["t_train"]
     x_te, y_te = pair["t_test"]
     c, t = x_tr.shape[1], x_tr.shape[2]
@@ -122,6 +122,8 @@ def run_cell(n_target, seed):
     test_loader = DataLoader(_Duck(x_te, y_te), batch_size=20)
 
     key = f"torch_target_only_n{n_target}_s{seed}"
+    if noise is not None:
+        key += f"_x{noise:g}"
     accs = []
     t0 = time.perf_counter()
     for ep in range(TOTAL_EPOCHS):
@@ -161,9 +163,11 @@ def run_cell(n_target, seed):
 
 def main():
     raw = sys.argv[1:] or ["16:0", "32:0"]
+    # cell syntax n:seed[:noise_target], e.g. 16:0:3.5 (hardened pair)
     for spec in raw:
-        n, s = (int(v) for v in spec.split(":"))
-        run_cell(n, s)
+        parts = spec.split(":")
+        run_cell(int(parts[0]), int(parts[1]),
+                 float(parts[2]) if len(parts) > 2 else None)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,90 @@
+"""Diagnose the dead SrcB member in the 5-source demo (VERDICT r4 weak #6).
+
+`results_multisource_demo.json` member_accs shows SrcB's member at 0.50 while
+the other four land 0.69-0.78.  Two hypotheses:
+  (a) capture-epoch artifact — the member snapshot at phase-5 epoch 40 caught
+      a transient dip in an otherwise healthy trajectory, or
+  (b) pair artifact — the Target<-SrcB adaptation genuinely plateaus at ~0.5.
+This reruns ONLY the SrcB member (identical data: demo archive seeds, member
+init seed 1, same phase epochs) and records the full phase-5 test-acc
+trajectory, so the 0.50 at epoch 40 can be read in context.  Reference
+analogue: the mid-curriculum member loads at
+/root/reference/multi_source_voting.py:265-279 have exactly this exposure —
+a fixed-epoch checkpoint is whatever the trajectory happened to be doing.
+
+Usage: python experiments/srcb_diagnosis.py
+Merges a `srcb_diagnosis` block into results_multisource_demo.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+from multisource_demo import ARCH, PHASE_EPOCHS, RESULTS, gen_archive  # noqa: E402
+
+
+def main():
+    from feature_level_style_transfer_for_tsc_tpu.config import PipelineConfig
+    from feature_level_style_transfer_for_tsc_tpu.data import TestData, TrainData
+    from feature_level_style_transfer_for_tsc_tpu.train.pipeline import (
+        StyleTransferPipeline,
+    )
+
+    gen_archive()
+    td, sd = {}, {}
+    t_train = TrainData(ARCH, "Target/Target_TRAIN.ts", td)
+    t_test = TestData(ARCH, "Target/Target_TEST.ts", td)
+    s_train = TrainData(ARCH, "SrcB/SrcB_TRAIN.ts", sd)
+    s_test = TestData(ARCH, "SrcB/SrcB_TEST.ts", sd)
+
+    cfg = PipelineConfig(seed=1)  # member index 1 = SrcB (cli.multi_source)
+    pipe = StyleTransferPipeline(
+        t_train.in_channel, t_train.time_length, t_train.num_class,
+        s_train.in_channel, s_train.time_length, s_train.num_class, cfg,
+    )
+    accs = []
+    t0 = time.perf_counter()
+    pipe.run(
+        t_train, t_test, s_train, s_test, epochs=PHASE_EPOCHS, verbose=False,
+        pretrain_eval_every=0, log_every=100,
+        eval_hook=lambda e, st, a: accs.append(
+            (int(e), float(a["target_test_acc"]))),
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    # with pretrain_eval_every=0 every eval is phase-5; e is the phase-5
+    # epoch index at cfg.eval_every cadence (2, matching the reference)
+    vals = [a for _, a in accs]
+    by_epoch = dict(accs)
+    at40 = by_epoch.get(40)
+    row = {
+        "phase5_trajectory": [round(a, 4) for a in vals],
+        "acc_at_capture_epoch_40": at40,
+        "phase5_mean": round(float(np.mean(vals)), 4),
+        "phase5_max": round(float(np.max(vals)), 4),
+        "phase5_min": round(float(np.min(vals)), 4),
+        "final": round(vals[-1], 4),
+        "wall_s": wall,
+        "verdict": (
+            "capture-epoch artifact (transient dip)"
+            if at40 is not None and float(np.max(vals)) - at40 > 0.1
+            else "pair artifact (trajectory plateaus near capture value)"
+        ),
+    }
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+    data["srcb_diagnosis"] = row
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(row, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,21 +65,40 @@ def main():
     vals = [a for _, a in accs]
     by_epoch = dict(accs)
     at40 = by_epoch.get(40)
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+    # the demo's recorded SrcB member (index 1) accuracy — the thing being
+    # diagnosed; compare the standalone rerun against IT, not against this
+    # run's own plateau
+    demo_member = (data.get("member_accs") or [None, None])[1]
+    if at40 is None or demo_member is None:
+        verdict = "inconclusive (missing capture-epoch eval or demo row)"
+    elif abs(at40 - demo_member) <= 0.08:
+        verdict = (
+            "pair artifact: the standalone member reproduces the demo's "
+            "low accuracy at the capture epoch — the Target<-SrcB "
+            "adaptation itself is weak"
+        )
+    else:
+        verdict = (
+            "member-instance artifact: the identical member rerun "
+            f"standalone reaches {at40:.3f} at the capture epoch "
+            f"(plateau {float(np.min(vals[5:])):.2f}-{float(np.max(vals)):.2f}) "
+            f"vs the demo's {demo_member:.2f} — the dead member was an "
+            "unlucky trajectory under the multi-pipeline program's "
+            "distinct batch-key stream, i.e. exactly the per-member "
+            "variance the ensemble vote absorbs"
+        )
     row = {
         "phase5_trajectory": [round(a, 4) for a in vals],
         "acc_at_capture_epoch_40": at40,
+        "demo_member_acc": demo_member,
         "phase5_mean": round(float(np.mean(vals)), 4),
         "phase5_max": round(float(np.max(vals)), 4),
         "phase5_min": round(float(np.min(vals)), 4),
         "final": round(vals[-1], 4),
         "wall_s": wall,
-        "verdict": (
-            "capture-epoch artifact (transient dip)"
-            if at40 is not None and float(np.max(vals)) - at40 > 0.1
-            else "pair artifact (trajectory plateaus near capture value)"
-        ),
+        "verdict": verdict,
     }
-    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
     data["srcb_diagnosis"] = row
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=2)
